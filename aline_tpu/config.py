@@ -1,0 +1,383 @@
+"""Composable dataclass configuration with hydra-style CLI overrides.
+
+Mirrors the reference's hydra group layout (reference: config/train.yaml,
+config/{task,encoder,embedder,head,eval}/*.yaml) with the same field names
+and defaults, so that reference training commands translate 1:1, e.g.::
+
+    python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 \
+        max_epoch=200000 burning_epoch=20000 gamma=1 min_T=30 T=30
+
+Group selection (``task=al_mix``, ``eval=bed``) swaps in a registered preset;
+dotted assignments (``task.dim_x=1``) override single fields with type
+coercion based on the dataclass field type.
+"""
+from __future__ import annotations
+
+import ast
+import copy
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+# --------------------------------------------------------------------------
+# Model groups
+# --------------------------------------------------------------------------
+
+@dataclass
+class EncoderConfig:
+    """Transformer encoder (reference: config/encoder/encoder.yaml)."""
+    dim_embedding: int = 32
+    dim_feedforward: int = 128
+    n_head: int = 4
+    dropout: float = 0.0
+    num_layers: int = 3
+    # TPU-specific: which attention implementation to use.
+    #   "naive"  – jnp dot-product attention with an explicit [B,N,N] bias
+    #   "flash"  – Pallas block-masked flash-attention kernel
+    #   "auto"   – flash on TPU when the sequence is long enough, else naive
+    attention_impl: str = "auto"
+    # Optional global time token prepended to the sequence
+    # (reference: model/encoder.py:144-223 EncoderWithTime; not wired into
+    #  any reference config, provided as a capability).
+    with_time_token: bool = False
+
+
+@dataclass
+class HeadConfig:
+    """Output head (reference: config/head/head.yaml)."""
+    num_components: int = 10
+    single_head: bool = False
+    std_min: float = 1e-4
+    value_head: bool = False
+    # Continuous (DAD-style) Gaussian design policy instead of discrete
+    # candidate selection (reference: model/head.py:396-495).
+    continuous: bool = False
+
+
+@dataclass
+class EmbedderConfig:
+    """Embedder (reference: config/embedder/embedder.yaml).
+
+    dim_x / dim_y / embedding_type / n_target_theta are interpolated from the
+    task config at build time, and dim_embedding / dim_feedforward from the
+    encoder config, exactly like the reference's hydra interpolations.
+    """
+    continuous: bool = False  # ContinuousEmbedder variant
+
+
+# --------------------------------------------------------------------------
+# Eval group
+# --------------------------------------------------------------------------
+
+@dataclass
+class EvalConfig:
+    """EIG evaluation (reference: config/eval/{default,bed}.yaml)."""
+    EIG: bool = False
+    # During training
+    L: int = 50_000
+    M: int = 2_000
+    batch_size: int = 500
+    # Final evaluation
+    L_final: int = 10_000_000
+    M_final: int = 2_000
+    batch_size_final: int = 5
+    n_query_final: int = 2_000
+    T_final: int = 30
+    # TPU chunking of the contrastive axis (per-device L chunk size).
+    L_chunk: int = 32_768
+    err_type: str = "se"
+
+
+EVAL_PRESETS = {
+    "default": EvalConfig(),
+    "bed": EvalConfig(EIG=True),
+}
+
+
+# --------------------------------------------------------------------------
+# Task group
+# --------------------------------------------------------------------------
+
+@dataclass
+class TaskConfig:
+    """Base task config; field names follow reference config/task/*.yaml."""
+    target: str = ""              # registry key of the task class
+    name: str = ""
+    dim_x: int = 1
+    dim_y: int = 1
+
+    embedding_type: str = "data"  # "data" | "theta" | "mix"
+    mask_type: List[str] = field(default_factory=lambda: ["all"])
+    n_selected_targets: Optional[int] = None
+    predefined_masks: Optional[List[List[bool]]] = None
+    predefined_mask_weights: Optional[List[float]] = None
+    mask_index: Optional[int] = None
+    attend_to: Optional[str] = None
+
+    n_context_init: int = 1
+    n_query_init: int = 200
+    n_target_data: int = 0
+    n_target_theta: int = 0
+
+    design_scale: float = 5.0
+    noise_scale: float = 0.01
+
+
+@dataclass
+class GPTaskConfig(TaskConfig):
+    """GP active-learning task (reference: config/task/al_*.yaml,
+    tasks/gaussian_process.py:29-81)."""
+    target: str = "gp"
+    p_iso: float = 0.5
+    kernel_weights: Optional[List[float]] = None   # defaults to [1/3,0,1/3,1/3]
+    lengthscale_lower: float = 0.1
+    lengthscale_upper: float = 2.0
+
+
+@dataclass
+class LocationFindingConfig(TaskConfig):
+    """Hidden-source location finding (reference:
+    config/task/location_finding.yaml, tasks/location_finding.py:11-82)."""
+    target: str = "location_finding"
+    K: int = 1
+    theta_dist: str = "uniform"
+    outcome_scale: float = 10.0
+    base_signal: float = 0.1
+    max_signal: float = 1e-4
+
+
+@dataclass
+class CESTaskConfig(TaskConfig):
+    """CES utility experiment (reference: config/task/ces.yaml,
+    tasks/ces.py:12-49)."""
+    target: str = "ces"
+    epsilon: float = 2.0 ** (-22)
+
+
+@dataclass
+class PsychometricConfig(TaskConfig):
+    """Psychometric function task (reference: config/task/psychometric.yaml,
+    tasks/psychometric.py:11-67)."""
+    target: str = "psychometric"
+
+
+@dataclass
+class BenchmarkTaskConfig(TaskConfig):
+    """Analytic benchmark functions, eval-only (reference:
+    tasks/al_benchmarks.py:10-84)."""
+    target: str = "benchmark"
+    benchmark_name: str = "forrester"
+
+
+@dataclass
+class HPOTaskConfig(TaskConfig):
+    """HPO-B lookup task (reference: config/task/hpo.yaml,
+    tasks/hpo.py:252-322)."""
+    target: str = "hpo"
+    meta_dataset: str = "ranger"
+    min_n_context: int = 5
+    max_n_context: int = 10
+    normalize_y: bool = False
+    data_path: Optional[str] = None
+
+
+def _task_presets():
+    """Task presets mirroring reference config/task/*.yaml values."""
+    return {
+        "al_data": GPTaskConfig(
+            name="AL_data", dim_x=1, embedding_type="data",
+            mask_type=["all"], n_context_init=1, n_query_init=200,
+            n_target_data=100, n_target_theta=0,
+            design_scale=5.0, noise_scale=0.01),
+        "al_mix": GPTaskConfig(
+            name="AL_mix", dim_x=2, embedding_type="mix",
+            mask_type=["split"], n_context_init=1, n_query_init=200,
+            n_target_data=100, n_target_theta=3,
+            design_scale=5.0, noise_scale=0.01),
+        "al_theta": GPTaskConfig(
+            name="AL_theta", dim_x=1, embedding_type="theta",
+            mask_type=["all"], n_context_init=1, n_query_init=200,
+            n_target_data=0, n_target_theta=2,
+            design_scale=5.0, noise_scale=0.01),
+        "ces": CESTaskConfig(
+            name="CES", dim_x=6, embedding_type="theta",
+            mask_type=["all"], n_context_init=1, n_query_init=200,
+            n_target_data=0, n_target_theta=5,
+            design_scale=100.0, noise_scale=0.005),
+        "location_finding": LocationFindingConfig(
+            name="Location", dim_x=2, embedding_type="theta",
+            mask_type=["all"], n_context_init=1, n_query_init=200,
+            n_target_data=0, n_target_theta=2, K=1,
+            theta_dist="uniform", design_scale=1.0, outcome_scale=10.0,
+            noise_scale=0.5, base_signal=0.1, max_signal=1e-4),
+        "psychometric": PsychometricConfig(
+            name="Psychometric", dim_x=1, embedding_type="theta",
+            mask_type=["predefined"],
+            predefined_masks=[[False, False, True, True],
+                              [True, True, False, False]],
+            predefined_mask_weights=[1.0, 1.0],
+            n_context_init=1, n_query_init=200,
+            n_target_data=0, n_target_theta=4, design_scale=5.0),
+        "hpo": HPOTaskConfig(
+            name="HPO", dim_x=9, embedding_type="data",
+            mask_type=["all"], n_context_init=5, n_query_init=100,
+            n_target_data=100, n_target_theta=0,
+            meta_dataset="ranger"),
+        "benchmark": BenchmarkTaskConfig(
+            name="Benchmark", dim_x=1, embedding_type="data",
+            mask_type=["all"], n_context_init=5, n_query_init=10,
+            n_target_data=5, design_scale=5.0, noise_scale=0.1),
+    }
+
+
+# --------------------------------------------------------------------------
+# Root config
+# --------------------------------------------------------------------------
+
+@dataclass
+class Config:
+    """Root training config (reference: config/train.yaml)."""
+    seed: int = 123
+    fix_seed: bool = True
+
+    max_epoch: int = 100_000
+    burning_epoch: int = 10_000
+    batch_size: int = 200
+
+    min_T: int = 30
+    T: int = 30
+    time_token: bool = False
+
+    optimizer: str = "AdamW"
+    lr: float = 1e-3
+
+    gamma: float = 1.0
+    alpha: float = 1.0
+
+    clip_grads: bool = True
+    verbose: int = 500
+    checkpoint: int = 100
+    load_checkpoint: bool = False
+    load_path: Optional[str] = None
+    checkpoint_name: str = "ckpt.tar"
+
+    output_dir: str = "./outputs"
+    file_name: str = "aline.pth"
+
+    # Mesh: number of data-parallel shards; 0 = use all local devices.
+    mesh_data: int = 0
+    # Computation dtype for the model ("float32" | "bfloat16").
+    dtype: str = "float32"
+
+    task: TaskConfig = field(default_factory=lambda: _task_presets()["al_mix"])
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    embedder: EmbedderConfig = field(default_factory=EmbedderConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+
+# --------------------------------------------------------------------------
+# CLI override machinery
+# --------------------------------------------------------------------------
+
+def _coerce(value_str: str, current: Any):
+    """Coerce a CLI string to the type of ``current`` (the existing value)."""
+    s = value_str.strip()
+    if s.lower() in ("null", "none"):
+        return None
+    if isinstance(current, bool):
+        if s.lower() in ("true", "1", "yes"):
+            return True
+        if s.lower() in ("false", "0", "no"):
+            return False
+        raise ValueError(f"cannot parse bool from {s!r}")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(float(s))
+    if isinstance(current, float):
+        return float(s)
+    if isinstance(current, (list, tuple)) or current is None:
+        # Lists like [predefined] or [[False,True]] — accept python/JSON text.
+        try:
+            return ast.literal_eval(s)
+        except (ValueError, SyntaxError):
+            # Bare comma-separated or single token → list of strings / string
+            if s.startswith("[") and s.endswith("]"):
+                inner = s[1:-1].strip()
+                if not inner:
+                    return []
+                return [tok.strip().strip("'\"")
+                        for tok in inner.split(",")]
+            return s
+    return s
+
+
+def _set_dotted(cfg: Any, dotted: str, value_str: str) -> None:
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"unknown config group {p!r} in {dotted!r}")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not dataclasses.is_dataclass(obj) or not hasattr(obj, leaf):
+        raise KeyError(f"unknown config key {dotted!r}")
+    setattr(obj, leaf, _coerce(value_str, getattr(obj, leaf)))
+
+
+def parse_overrides(argv: Sequence[str],
+                    base: Optional[Config] = None) -> Config:
+    """Build a Config from hydra-style ``key=value`` CLI overrides.
+
+    Group selections (``task=``, ``eval=``) are applied first so subsequent
+    dotted overrides land on the selected preset, matching hydra composition
+    order in the reference (config/train.yaml defaults list).
+    """
+    cfg = copy.deepcopy(base) if base is not None else Config()
+    dotted: List[Tuple[str, str]] = []
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"override {arg!r} is not of the form key=value")
+        key, _, val = arg.partition("=")
+        key = key.strip()
+        if key == "task":
+            presets = _task_presets()
+            if val not in presets:
+                raise KeyError(
+                    f"unknown task preset {val!r}; available: {sorted(presets)}")
+            cfg.task = presets[val]
+        elif key == "eval":
+            if val not in EVAL_PRESETS:
+                raise KeyError(f"unknown eval preset {val!r}")
+            cfg.eval = copy.deepcopy(EVAL_PRESETS[val])
+        elif key == "encoder":
+            pass  # single preset
+        elif key in ("embedder", "head"):
+            pass  # single presets
+        else:
+            dotted.append((key, val))
+    for key, val in dotted:
+        _set_dotted(cfg, key, val)
+    # Reference semantics: ensure min_T <= T (train_aline.py:202-203).
+    if cfg.min_T > cfg.T:
+        cfg.min_T = cfg.T
+    return cfg
+
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name))
+                for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def to_yaml(cfg: Any) -> str:
+    """Readable dump of the config (JSON with indentation; no yaml dep)."""
+    return json.dumps(to_dict(cfg), indent=2, default=str)
+
+
+def task_preset_names() -> List[str]:
+    return sorted(_task_presets().keys())
