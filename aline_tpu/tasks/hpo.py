@@ -1,0 +1,184 @@
+"""HPO-B hyperparameter-optimization lookup task.
+
+Capability parity with the reference HPO stack (reference: tasks/hpo.py:
+11-406): a host-side JSON loader for the HPO-B meta-datasets plus a Task
+adapter that serves random context/query/target splits of the real data.
+
+This is the one task whose data generation is inherently host-side (real
+tabular data, ragged dataset sizes).  The split indices are drawn with
+numpy per epoch and the gathered batch is shipped to the device once —
+the rollout itself then runs fully on-device like every other task.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aline_tpu.tasks.base import Batch, Task
+
+DATASET_IDS = {"ranger": "7609", "glmnet": "5860", "svm": "5891",
+               "rpart": "5859", "xgboost": "5971"}
+
+
+class HPOB:
+    """Per-meta-dataset loader (reference: tasks/hpo.py:124-249)."""
+
+    def __init__(self, meta_dataset: str = "glmnet",
+                 data_path: Optional[str] = None):
+        self.meta_dataset = meta_dataset
+        self.path = data_path or os.path.join(
+            os.path.dirname(os.path.realpath(__file__)), "..", "..", "data")
+        self.data = self._load(meta_dataset)
+        self.dataset_ids = list(self.data.keys())
+        self.n_dataset = len(self.dataset_ids)
+        first = self.data[self.dataset_ids[0]]
+        self.min_data_size = min(len(d["X"]) for d in self.data.values())
+        self.dim_x = len(first["X"][0])
+        # Pre-convert to dense arrays once (host-side)
+        self._X = {k: np.asarray(v["X"], np.float32)
+                   for k, v in self.data.items()}
+        self._y = {k: np.asarray(v["y"], np.float32).reshape(-1, 1)
+                   for k, v in self.data.items()}
+
+    def _load(self, meta_dataset: str) -> Dict:
+        with open(os.path.join(self.path, "HPOB", f"{meta_dataset}.json")) as f:
+            return json.load(f)
+
+    def sample(self, rng: np.random.Generator, batch_size: int = 16,
+               n_context: Optional[int] = None, n_query: Optional[int] = None,
+               n_target: int = 10, min_n_context: int = 5,
+               max_n_context: int = 10):
+        """Random context/query/target splits (reference :137-169)."""
+        n_context = n_context or int(rng.integers(min_n_context,
+                                                  max_n_context))
+        n_query = n_query or self.min_data_size - n_context - n_target
+
+        cx = np.zeros((batch_size, n_context, self.dim_x), np.float32)
+        cy = np.zeros((batch_size, n_context, 1), np.float32)
+        qx = np.zeros((batch_size, n_query, self.dim_x), np.float32)
+        qy = np.zeros((batch_size, n_query, 1), np.float32)
+        tx = np.zeros((batch_size, n_target, self.dim_x), np.float32)
+        ty = np.zeros((batch_size, n_target, 1), np.float32)
+        for i in range(batch_size):
+            did = self.dataset_ids[int(rng.integers(self.n_dataset))]
+            X, y = self._X[did], self._y[did]
+            perm = rng.permutation(X.shape[0])
+            c = perm[:n_context]
+            q = perm[n_context: n_context + n_query]
+            t = perm[n_context + n_query: n_context + n_query + n_target]
+            cx[i], cy[i] = X[c], y[c]
+            qx[i], qy[i] = X[q], y[q]
+            tx[i], ty[i] = X[t], y[t]
+        return cx, cy, qx, qy, tx, ty
+
+    # -- test-set protocol (reference :171-243) ---------------------------
+    def get_test_set(self) -> Dict:
+        with open(os.path.join(self.path, "HPOB",
+                               f"{self.meta_dataset}_test.json")) as f:
+            return json.load(f)
+
+    def get_bo_initializations(self) -> Dict:
+        with open(os.path.join(self.path, "HPOB",
+                               "bo-initializations.json")) as f:
+            return json.load(f)
+
+    def sample_test_set(self, n_context: int, n_query: int, n_target: int):
+        """Fixed BO-initialization splits for every (dataset, seed) pair
+        (reference :187-243)."""
+        seeds = [f"test{i}" for i in range(5)]
+        inits = self.get_bo_initializations()
+        data = self.get_test_set()
+        rows = []
+        for dataset_id in data.keys():
+            dataset = data[dataset_id]
+            X = np.asarray(dataset["X"], np.float32)
+            y = np.asarray(dataset["y"], np.float32).reshape(-1, 1)
+            for seed in seeds:
+                init_ids = inits[DATASET_IDS[self.meta_dataset]][dataset_id][seed]
+                mask = np.ones(X.shape[0], bool)
+                mask[init_ids] = False
+                Xr, yr = X[mask], y[mask]
+                rows.append((X[init_ids], y[init_ids],
+                             Xr[:n_query], yr[:n_query],
+                             Xr[n_query:n_query + n_target],
+                             yr[n_query:n_query + n_target]))
+        stack = lambda i: np.stack([r[i] for r in rows], axis=0)
+        return tuple(stack(i) for i in range(6))
+
+
+class HPOTask(Task):
+    """Task adapter around HPOB (reference: tasks/hpo.py:252-406).
+
+    ``sample_batch`` takes a host numpy Generator instead of a JAX key —
+    it is the only non-jittable sampler in the framework (real data)."""
+
+    def __init__(self, cfg):
+        try:
+            self.hpob = HPOB(meta_dataset=cfg.meta_dataset,
+                             data_path=cfg.data_path)
+            actual_dim_x = self.hpob.dim_x
+            if cfg.dim_x != actual_dim_x:
+                print(f"Warning: config dim_x ({cfg.dim_x}) differs from "
+                      f"dataset dim_x ({actual_dim_x}); using dataset value.")
+            cfg.dim_x = actual_dim_x
+            cfg.dim_y = 1
+        except (FileNotFoundError, OSError) as e:
+            print(f"Error loading HPO-B dataset {cfg.meta_dataset!r}: {e}\n"
+                  f"Expected file: data/HPOB/{cfg.meta_dataset}.json")
+            self.hpob = None
+
+        super().__init__(cfg)
+        if self.embedding_type != "data":
+            raise ValueError("HPO tasks only support 'data' embedding type")
+        self.meta_dataset = cfg.meta_dataset
+        self.min_n_context = cfg.min_n_context
+        self.max_n_context = cfg.max_n_context
+        self.normalize_y = cfg.normalize_y
+        self.n_target_theta = 0
+        self.design_scale = 1.0
+
+    def to_design_space(self, xi):
+        return xi
+
+    def normalise_outcomes(self, y):
+        """Optional per-batch min-max normalization (reference :328-338)."""
+        if not self.normalize_y:
+            return y
+        y_min = y.min(axis=1, keepdims=True)
+        y_max = y.max(axis=1, keepdims=True)
+        rng = np.where(y_max - y_min == 0, 1.0, y_max - y_min)
+        return (y - y_min) / rng
+
+    def simulate(self, key, x, theta=None):
+        raise NotImplementedError(
+            "HPO task uses real data, not generated data "
+            "(reference: tasks/hpo.py:340-345)")
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int,
+                     n_query: Optional[int] = None) -> Batch:
+        if self.hpob is None:
+            raise RuntimeError(
+                "HPO-B data not loaded; cannot sample batch. "
+                "Please check data files under data/HPOB/.")
+        n_query = self.n_query_init if n_query is None else n_query
+        cx, cy, qx, qy, tx, ty = self.hpob.sample(
+            rng, batch_size=batch_size, n_context=self.n_context_init,
+            n_query=n_query, n_target=self.n_target_data,
+            min_n_context=self.min_n_context,
+            max_n_context=self.max_n_context)
+        if self.normalize_y:
+            all_y = np.concatenate([cy, qy, ty], axis=1)
+            all_y = self.normalise_outcomes(all_y)
+            nc, nq = cy.shape[1], qy.shape[1]
+            cy, qy, ty = (all_y[:, :nc], all_y[:, nc:nc + nq],
+                          all_y[:, nc + nq:])
+        x = jnp.asarray(np.concatenate([cx, qx], axis=1))
+        y = jnp.asarray(np.concatenate([cy, qy], axis=1))
+        theta_tokens = jnp.zeros((batch_size, 0, 1))
+        return self._pack_batch(x, y, jnp.asarray(tx), jnp.asarray(ty),
+                                theta_tokens, None)
