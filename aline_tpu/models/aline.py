@@ -1,0 +1,72 @@
+"""Aline composition root: embedder → masked encoder → output head.
+
+Capability parity with the reference ``Aline`` (reference: model/base.py:11-50).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+
+from aline_tpu.config import Config
+from aline_tpu.models.embedder import Embedder
+from aline_tpu.models.encoder import Encoder
+from aline_tpu.models.heads import (
+    AlineOutput,
+    ContinuousOutputHead,
+    OutputHead,
+)
+from aline_tpu.ops.roles import build_roles
+from aline_tpu.tasks.base import Batch
+
+
+class Aline(nn.Module):
+    """Full model.  ``training`` toggles stochastic vs greedy design
+    selection (the reference uses module train/eval mode,
+    model/head.py:350-358); ``rng`` is the design-sampling key."""
+    embedder: Embedder
+    encoder: Encoder
+    head: nn.Module
+
+    def __call__(self, batch: Batch, *, training: bool = False,
+                 rng: Optional[jax.Array] = None) -> AlineOutput:
+        tokens = self.embedder(batch)
+        n_target_tokens = tokens.shape[1] - batch.n_points
+        roles = build_roles(batch.ctx_mask, n_target_tokens,
+                            batch.target_mask,
+                            self.encoder.cfg.with_time_token)
+        z = self.encoder(tokens, roles, batch.t)
+        return self.head(batch, z, training=training, rng=rng,
+                         time_offset=int(self.encoder.cfg.with_time_token))
+
+
+def build_model(cfg: Config) -> Aline:
+    """Instantiate the model from config (the hydra-instantiate equivalent,
+    reference: train_aline.py:246-249)."""
+    embedder = Embedder(
+        dim_x=cfg.task.dim_x,
+        dim_y=cfg.task.dim_y,
+        dim_embedding=cfg.encoder.dim_embedding,
+        dim_feedforward=cfg.encoder.dim_feedforward,
+        n_target_theta=(cfg.task.n_target_theta
+                        if cfg.task.embedding_type in ("theta", "mix") else 0),
+        embedding_type=cfg.task.embedding_type,
+        continuous=cfg.embedder.continuous,
+    )
+    encoder = Encoder(cfg.encoder)
+    head_cls = ContinuousOutputHead if cfg.head.continuous else OutputHead
+    kwargs = dict(
+        dim_x=cfg.task.dim_x,
+        dim_y=cfg.task.dim_y,
+        dim_embedding=cfg.encoder.dim_embedding,
+        dim_feedforward=cfg.encoder.dim_feedforward,
+        num_components=cfg.head.num_components,
+        single_head=cfg.head.single_head,
+        std_min=cfg.head.std_min,
+        time_token=cfg.time_token,
+    )
+    if not cfg.head.continuous:
+        kwargs["value_head"] = cfg.head.value_head
+    head = head_cls(**kwargs)
+    return Aline(embedder=embedder, encoder=encoder, head=head)

