@@ -1,0 +1,77 @@
+"""On-device T-step experiment rollout as a single ``lax.scan``.
+
+Replaces the reference's Python rollout loop (reference:
+train_aline.py:80-110): per step the model proposes a design, the chosen
+point's pre-simulated outcome joins the context, and two NLL streams are
+recorded (masked targets → reward signal, all targets → prediction loss).
+The whole trajectory is differentiable end-to-end; ``remat`` bounds the
+backward-pass memory to one step's activations.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aline_tpu.distributions.gmm import gmm_log_prob
+from aline_tpu.tasks.base import Batch, select_design
+
+
+class RolloutOutputs(NamedTuple):
+    log_probs: jnp.ndarray   # [T, B] design log-probs
+    nll_query: jnp.ndarray   # [T, B] masked-target NLL (reward stream)
+    nll_pred: jnp.ndarray    # [T, B] all-target NLL (prediction stream)
+    idx: jnp.ndarray         # [T, B] chosen point indices
+    xs: jnp.ndarray          # [T, B, dim_x] chosen designs (normalized)
+    ys: jnp.ndarray          # [T, B, dim_y] observed outcomes
+    final_ctx_mask: jnp.ndarray  # [B, n_points]
+
+
+def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
+            w_pred: jnp.ndarray, key: jax.Array, *, training: bool,
+            time_token: bool = False, time_forward: bool = True,
+            use_remat: bool = True) -> RolloutOutputs:
+    """Run T acquisition steps.
+
+    Args:
+        w_query/w_pred: [n_target] NLL weight vectors
+            (:func:`aline_tpu.ops.target_mask.target_weight_vectors`).
+        training: stochastic design sampling + differentiable NLLs
+            (reference model.train()), else greedy argmax.
+        time_token: feed the time scalar to the heads.
+        time_forward: t/T (training convention, reference
+            train_aline.py:82); False → (T-t)/T (eval convention,
+            reference utils/eval.py:26 — the reference's documented
+            direction mismatch, reproduced faithfully per mode).
+        use_remat: checkpoint each step's activations for the backward pass.
+    """
+    target_vals = batch.target_all[..., 0]                   # [B, n_target]
+
+    def step(carry, t):
+        ctx_mask, k = carry
+        k, k_design = jax.random.split(k)
+        if time_token:
+            tt = ((t / T) if time_forward else ((T - t) / T)).astype(
+                jnp.float32)
+        else:
+            tt = jnp.zeros((), jnp.float32)
+        b = batch.replace(ctx_mask=ctx_mask, t=tt)
+        out = model.apply(params, b, training=training, rng=k_design)
+        b2, x_sel, y_sel = select_design(b, out.design_out.idx)
+        ll = gmm_log_prob(target_vals,
+                          out.posterior_out.mixture_means,
+                          out.posterior_out.mixture_stds,
+                          out.posterior_out.mixture_weights)  # [B, n_target]
+        nll_q = -jnp.sum(ll * w_query, axis=-1)
+        nll_p = -jnp.sum(ll * w_pred, axis=-1)
+        ys = (out.design_out.log_prob, nll_q, nll_p, out.design_out.idx,
+              x_sel, y_sel)
+        return (b2.ctx_mask, k), ys
+
+    if use_remat:
+        step = jax.checkpoint(step)
+
+    (final_ctx, _), (log_probs, nll_q, nll_p, idx, xs, ys) = jax.lax.scan(
+        step, (batch.ctx_mask, key), jnp.arange(T, dtype=jnp.float32))
+    return RolloutOutputs(log_probs, nll_q, nll_p, idx, xs, ys, final_ctx)
