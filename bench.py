@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: design rollouts/sec/chip on the GP-AL-1D recipe.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is full TRAINING throughput — per wall-clock second, how many
+complete T=30 experiment rollouts (sample GP batch → 30-step acquisition
+rollout → REINFORCE+NLL loss → backward → AdamW step) finish on one chip.
+``vs_baseline`` compares against the PyTorch reference workload measured on
+this host (benchmarks/baseline_torch.json, produced by
+scripts/torch_baseline.py — the reference repo publishes no numbers, see
+BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aline_tpu.config import parse_overrides
+    from aline_tpu.train.loop import Trainer
+
+    B, T = 200, 30
+    cfg = parse_overrides([
+        "task=al_mix", "task.dim_x=1", "task.n_target_theta=2",
+        "task.n_query_init=200", "task.lengthscale_lower=0.1",
+        "task.lengthscale_upper=2.0", "task.design_scale=5", "gamma=1",
+        f"min_T={T}", f"T={T}", f"batch_size={B}",
+        "burning_epoch=0", "max_epoch=10", "checkpoint=0", "verbose=1000000",
+        "mesh_data=1",  # single chip
+    ])
+    cfg.output_dir = "/tmp/aline_bench"
+    log(f"bench devices: {jax.devices()}")
+
+    trainer = Trainer(cfg)
+
+    # warmup: trigger compilation of sample + step
+    n_warm, n_meas = 2, 8
+    for e in range(n_warm):
+        trainer.train_epoch(e)
+    jax.block_until_ready(jax.tree_util.tree_leaves(trainer.params)[0])
+
+    t0 = time.perf_counter()
+    for e in range(n_warm, n_warm + n_meas):
+        trainer.train_epoch(e)
+    jax.block_until_ready(jax.tree_util.tree_leaves(trainer.params)[0])
+    dt = time.perf_counter() - t0
+
+    per_epoch = dt / n_meas
+    rollouts_per_sec = B / per_epoch
+    log(f"{per_epoch*1e3:.1f} ms/epoch → {rollouts_per_sec:.1f} rollouts/s")
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_torch.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = rollouts_per_sec / float(base["value"])
+
+    print(json.dumps({
+        "metric": "design rollouts/sec/chip (GP-AL-1D train, T=30, B=200)",
+        "value": round(rollouts_per_sec, 3),
+        "unit": "rollouts/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
