@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from aline_tpu.tasks.base import Batch
+from aline_tpu.tasks.base import Batch, init_ctx_idx
 from aline_tpu.train.rollout import rollout
 
 
@@ -32,6 +32,7 @@ def get_traces(model, params, task, batch: Batch, T: int,
         y:       [B, n_context_init + T, dim_y] outcome history.
     """
     n_ctx = task.n_context_init
+    batch = init_ctx_idx(batch, min(n_ctx + T, batch.n_points))
     zero_w = jnp.zeros((batch.n_target,), jnp.float32)
     ro = rollout(model, params, batch, T, zero_w, zero_w, key,
                  training=False, time_token=time_token, time_forward=False,

@@ -8,6 +8,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from aline_tpu.config import Config
 from aline_tpu.models.embedder import Embedder
@@ -17,6 +18,7 @@ from aline_tpu.models.heads import (
     ContinuousOutputHead,
     OutputHead,
 )
+from aline_tpu.ops.attention import CompactKeys, context_indices
 from aline_tpu.ops.roles import build_roles
 from aline_tpu.tasks.base import Batch
 
@@ -33,12 +35,26 @@ class Aline(nn.Module):
                  rng: Optional[jax.Array] = None) -> AlineOutput:
         tokens = self.embedder(batch)
         n_target_tokens = tokens.shape[1] - batch.n_points
+        with_time = self.encoder.cfg.with_time_token
+        t_off = int(with_time)
         roles = build_roles(batch.ctx_mask, n_target_tokens,
-                            batch.target_mask,
-                            self.encoder.cfg.with_time_token)
-        z = self.encoder(tokens, roles, batch.t)
+                            batch.target_mask, with_time)
+        compact = None
+        impl = self.encoder.cfg.attention_impl
+        if impl in ("compact", "auto", "flash") and batch.ctx_capacity > 0:
+            if batch.ctx_idx is not None:
+                # incrementally maintained index buffer (no per-step sort)
+                count = jnp.sum(batch.ctx_mask, axis=1)
+                valid = (jnp.arange(batch.ctx_capacity)[None]
+                         < count[:, None])
+                idx = batch.ctx_idx + t_off
+            else:
+                idx, valid = context_indices(batch.ctx_mask,
+                                             batch.ctx_capacity, t_off)
+            compact = CompactKeys(idx, valid, batch.n_points, t_off)
+        z = self.encoder(tokens, roles, batch.t, compact=compact)
         return self.head(batch, z, training=training, rng=rng,
-                         time_offset=int(self.encoder.cfg.with_time_token))
+                         time_offset=t_off)
 
 
 def build_model(cfg: Config) -> Aline:

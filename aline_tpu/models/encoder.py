@@ -24,16 +24,24 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from aline_tpu.config import EncoderConfig
+from aline_tpu.ops.attention import (
+    CompactKeys,
+    compact_attention,
+    dense_bias_attention,
+)
 from aline_tpu.ops.roles import Roles, attention_bias, build_roles
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Standard MHA with an additive bias, einsum path."""
+    """MHA with a pluggable masked-attention core: dense additive-bias or
+    compact-key gather (see aline_tpu.ops.attention)."""
     dim_embedding: int
     n_head: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, roles: Roles,
+                 bias: jnp.ndarray = None,
+                 compact: CompactKeys = None) -> jnp.ndarray:
         B, N, D = x.shape
         H = self.n_head
         dh = D // H
@@ -42,11 +50,10 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(dh, x.dtype))
-        scores = scores + bias                               # [B, H, N, N]
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if compact is not None:
+            out = compact_attention(q, k, v, roles, compact)
+        else:
+            out = dense_bias_attention(q, k, v, bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, name="out_proj")(out)
 
@@ -60,10 +67,12 @@ class EncoderLayer(nn.Module):
     dropout: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, bias: jnp.ndarray,
+    def __call__(self, x: jnp.ndarray, roles: Roles,
+                 bias: jnp.ndarray = None, compact: CompactKeys = None,
                  deterministic: bool = True) -> jnp.ndarray:
         sa = MultiHeadSelfAttention(self.dim_embedding, self.n_head,
-                                    name="self_attn")(x, bias)
+                                    name="self_attn")(x, roles, bias,
+                                                      compact)
         sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
         x = nn.LayerNorm(name="norm1")(x + sa)
         ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
@@ -80,13 +89,15 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, roles: Roles,
                  t: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 compact: CompactKeys = None) -> jnp.ndarray:
         """Encode the packed token sequence under the role mask.
 
         Args:
             tokens: [B, N, D] (without the time token).
             roles:  role flags (already sized for the time token if used).
             t:      [] time scalar; required when with_time_token.
+            compact: context gather plan → compact-key attention path.
         Returns:
             [B, N(+1 if time), D] encoded tokens (time token first if used).
         """
@@ -98,10 +109,13 @@ class Encoder(nn.Module):
                 [jnp.broadcast_to(t_emb[None],
                                   (B, 1, self.cfg.dim_embedding)), tokens],
                 axis=1)
-        bias = attention_bias(roles, tokens.dtype)           # [B, 1, N, N]
+        bias = None
+        if compact is None:
+            bias = attention_bias(roles, tokens.dtype)       # [B, 1, N, N]
         x = tokens
         for i in range(self.cfg.num_layers):
             x = EncoderLayer(self.cfg.dim_embedding, self.cfg.dim_feedforward,
                              self.cfg.n_head, self.cfg.dropout,
-                             name=f"layer_{i}")(x, bias, deterministic)
+                             name=f"layer_{i}")(x, roles, bias, compact,
+                                                deterministic)
         return x

@@ -50,6 +50,15 @@ class Batch:
                     attend to this epoch (shared across batch, exactly as in
                     the reference).
         t:          [] float32 time-token scalar (0 when unused).
+        ctx_capacity: STATIC upper bound on the context size for the
+                    current rollout (n_context_init + T).  When positive it
+                    enables the compact-key attention path
+                    (:mod:`aline_tpu.ops.attention`); 0 = unknown → dense.
+        ctx_idx:    optional [B, ctx_capacity] int32 buffer listing the
+                    indices of context points in acquisition order (padded;
+                    valid entries = per-row context count).  Maintained
+                    incrementally by :func:`select_design`, so the compact
+                    attention path needs no per-step sort.
     """
     x: jnp.ndarray
     y: jnp.ndarray
@@ -59,6 +68,8 @@ class Batch:
     theta: Any
     target_mask: jnp.ndarray
     t: jnp.ndarray
+    ctx_capacity: int = flax.struct.field(pytree_node=False, default=0)
+    ctx_idx: Any = None
 
     @property
     def batch_size(self) -> int:
@@ -88,7 +99,8 @@ def select_design(batch: Batch, idx: jnp.ndarray
 
     Replaces the reference's gather + pool-shrink + context-append
     (reference: tasks/base_task.py:133-154) with one scatter into the
-    context flags.
+    context flags (and, when present, an append into the incremental
+    context index buffer used by compact attention).
 
     Args:
         batch: current batch.
@@ -99,9 +111,25 @@ def select_design(batch: Batch, idx: jnp.ndarray
     """
     b = jnp.arange(batch.batch_size)
     new_ctx = batch.ctx_mask.at[b, idx].set(True)
+    new_ctx_idx = batch.ctx_idx
+    if new_ctx_idx is not None:
+        count = jnp.sum(batch.ctx_mask, axis=1)              # [B]
+        slot = jnp.minimum(count, new_ctx_idx.shape[1] - 1)
+        new_ctx_idx = new_ctx_idx.at[b, slot].set(
+            idx.astype(new_ctx_idx.dtype))
     x_sel = batch.x[b, idx]
     y_sel = batch.y[b, idx]
-    return batch.replace(ctx_mask=new_ctx), x_sel, y_sel
+    return batch.replace(ctx_mask=new_ctx, ctx_idx=new_ctx_idx), x_sel, y_sel
+
+
+def init_ctx_idx(batch: Batch, capacity: int) -> Batch:
+    """Attach the incremental context index buffer + capacity to a batch
+    whose context is the first ``n`` points (the initial-batch layout every
+    task produces)."""
+    B = batch.batch_size
+    idx = jnp.broadcast_to(
+        jnp.arange(capacity, dtype=jnp.int32)[None], (B, capacity))
+    return batch.replace(ctx_capacity=capacity, ctx_idx=idx)
 
 
 class Task:

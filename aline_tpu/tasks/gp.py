@@ -170,11 +170,17 @@ class GPTask(Task):
         eye = jnp.eye(N, dtype=x.dtype)
         L = jnp.linalg.cholesky(K + self.jitter * eye)
         # Fallback for numerically non-PSD draws: retry with a 100x jitter
-        # and select per batch element (replaces the reference's
-        # MultivariateNormal exception path, reference :401-412).
-        bad = jnp.isnan(L).any(axis=(-2, -1))
-        L_safe = jnp.linalg.cholesky(K + (100.0 * self.jitter) * eye)
-        L = jnp.where(bad[:, None, None], L_safe, L)
+        # (replaces the reference's MultivariateNormal exception path,
+        # reference :401-412).  lax.cond executes the retry only when some
+        # factorization actually produced NaNs, so the common path pays for
+        # a single batched Cholesky.
+        bad = jnp.isnan(L).any(axis=(-2, -1))                # [B]
+
+        def _retry(_):
+            L_safe = jnp.linalg.cholesky(K + (100.0 * self.jitter) * eye)
+            return jnp.where(bad[:, None, None], L_safe, L)
+
+        L = jax.lax.cond(bad.any(), _retry, lambda _: L, None)
         z = jax.random.normal(k_f, (B, N, 1), dtype=x.dtype)
         f = L @ z                                             # [B, N, 1]
         noise = self.noise_scale * jax.random.normal(k_noise, (B, N, 1),

@@ -25,6 +25,7 @@ from aline_tpu.models.aline import build_model
 from aline_tpu.ops.target_mask import create_target_mask, target_weight_vectors
 from aline_tpu.parallel.mesh import get_mesh, shard_leading_axis
 from aline_tpu.tasks import HPOTask, build_task
+from aline_tpu.tasks.base import init_ctx_idx
 from aline_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from aline_tpu.train.loss import total_loss
 from aline_tpu.train.optimizer import build_optimizer, phase_for_epoch
@@ -78,9 +79,13 @@ class Trainer:
             return self.task.sample_batch(self.nprng, batch_size, n_query)
         sig = (batch_size, n_query)
         if sig not in self._sample_cache:
-            self._sample_cache[sig] = jax.jit(
-                partial(self.task.sample_batch, batch_size=batch_size,
-                        n_query=n_query))
+            # fold a constant inside jit so the batch key decorrelates from
+            # the step key without an extra host-side dispatch (tiny host
+            # ops are expensive over remote-device transports)
+            def _sample(k, task=self.task, bs=batch_size, nq=n_query):
+                return task.sample_batch(jax.random.fold_in(k, 0x5A17),
+                                         bs, nq)
+            self._sample_cache[sig] = jax.jit(_sample)
         return self._sample_cache[sig](key)
 
     def _ensure_phase(self, phase: str):
@@ -189,11 +194,17 @@ class Trainer:
         n_query = cfg.T if phase == "burning" else cfg.task.n_query_init
 
         with self.timer.phase("sample"):
-            self.key, k_batch = jax.random.split(self.key)
-            batch = self._sample_batch(k_batch, cfg.batch_size, n_query)
+            # the step key self.key is split device-side inside the jitted
+            # step; the batch key is derived from it inside the jitted
+            # sampler — zero host-side PRNG dispatches per epoch
+            batch = self._sample_batch(self.key, cfg.batch_size, n_query)
             mask, w_q, w_p = self._epoch_mask_and_weights()
             batch = batch.replace(target_mask=jnp.asarray(mask))
-            batch = shard_leading_axis(batch, self.mesh)
+            # static context bound + index buffer → compact-key attention
+            batch = init_ctx_idx(
+                batch, min(self.task.n_context_init + T, batch.n_points))
+            if self.mesh.devices.size > 1:
+                batch = shard_leading_axis(batch, self.mesh)
 
         alpha_design = jnp.asarray(
             0.0 if phase == "burning" else cfg.alpha, jnp.float32)
@@ -202,9 +213,9 @@ class Trainer:
             self.params, self.opt_state, self.key, m = step_fn(
                 self.params, self.opt_state, self.key, batch,
                 jnp.asarray(w_q), jnp.asarray(w_p), alpha_design)
-        m = {k: float(v) for k, v in m.items()}
+        # metrics stay device-side; callers convert lazily (a float() here
+        # would force a sync every epoch and stall the dispatch pipeline)
         m["T"] = T
-        self.metrics.log(**m)
         return m
 
     def train(self, eval_hook=None):
@@ -223,11 +234,11 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.max_epoch):
             t0 = time.perf_counter()
             m = self.train_epoch(epoch)
-            jax.block_until_ready(
-                jax.tree_util.tree_leaves(self.params)[0])
             epoch_times.append(time.perf_counter() - t0)
 
             if epoch % cfg.verbose == 0:
+                m = {k: float(v) for k, v in m.items()}  # sync point
+                self.metrics.log(**m)
                 self.logger.info(
                     f"Epoch: {epoch}, loss: {m['loss']:.4f}, T: {m['T']}, "
                     f"likelihood: {m['likelihood']:.4f}, design_loss: "

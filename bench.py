@@ -44,15 +44,16 @@ def main():
     trainer = Trainer(cfg)
 
     # warmup: trigger compilation of sample + step
-    n_warm, n_meas = 2, 8
+    n_warm, n_meas = 3, 10
     for e in range(n_warm):
-        trainer.train_epoch(e)
-    jax.block_until_ready(jax.tree_util.tree_leaves(trainer.params)[0])
+        m = trainer.train_epoch(e)
+    _ = float(m["loss"])  # hard sync (block_until_ready can be unreliable
+    #                       over remote-device transports)
 
     t0 = time.perf_counter()
     for e in range(n_warm, n_warm + n_meas):
-        trainer.train_epoch(e)
-    jax.block_until_ready(jax.tree_util.tree_leaves(trainer.params)[0])
+        m = trainer.train_epoch(e)
+    _ = float(m["loss"])
     dt = time.perf_counter() - t0
 
     per_epoch = dt / n_meas

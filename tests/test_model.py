@@ -252,3 +252,95 @@ class TestGMMHead:
                              num_components=2)
         with pytest.raises(NotImplementedError):
             head.init(rng_key, jnp.ones((1, 2, 8)))
+
+
+class TestCompactAttention:
+    """The compact-key attention path must be EXACTLY equivalent to the
+    dense biased path (same softmax over non-masked columns)."""
+
+    def _outputs(self, cfg, rng_key, capacity):
+        from aline_tpu.tasks import GPTask
+        model = build_model(cfg)
+        task = GPTask(cfg.task)
+        batch = task.sample_batch(rng_key, 4)
+        params = model.init(rng_key, batch, training=False)
+        # consume two points so the context is non-trivial and scattered
+        batch, _, _ = select_design(batch, jnp.array([3, 5, 7, 2]))
+        batch, _, _ = select_design(batch, jnp.array([6, 2, 3, 9]))
+        batch = batch.replace(ctx_capacity=capacity)
+        out = model.apply(params, batch, training=False)
+        return out
+
+    def test_matches_dense(self, rng_key):
+        cfg = small_cfg()
+        cfg.encoder.attention_impl = "naive"
+        dense = self._outputs(cfg, rng_key, 0)
+        cfg2 = small_cfg()
+        cfg2.encoder.attention_impl = "compact"
+        comp = self._outputs(cfg2, rng_key, 6)
+        np.testing.assert_allclose(
+            np.asarray(dense.posterior_out.mixture_means),
+            np.asarray(comp.posterior_out.mixture_means),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(dense.design_out.zt),
+            np.asarray(comp.design_out.zt), rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(
+            np.asarray(dense.design_out.idx), np.asarray(comp.design_out.idx))
+
+    def test_matches_dense_with_target_mask(self, rng_key):
+        cfg = small_cfg()
+        cfg.encoder.attention_impl = "naive"
+        from aline_tpu.tasks import GPTask
+        model = build_model(cfg)
+        task = GPTask(cfg.task)
+        batch = task.sample_batch(rng_key, 3)
+        params = model.init(rng_key, batch, training=False)
+        tmask = jnp.array([True, False, True, False, False, True])
+        batch = batch.replace(target_mask=tmask)
+        dense = model.apply(params, batch, training=False)
+        comp = model.apply(params, batch.replace(ctx_capacity=4),
+                           training=False)
+        np.testing.assert_allclose(
+            np.asarray(dense.posterior_out_query.mixture_means),
+            np.asarray(comp.posterior_out_query.mixture_means),
+            rtol=2e-5, atol=2e-5)
+
+    def test_matches_dense_time_token(self, rng_key):
+        cfg = small_cfg()
+        cfg.encoder.with_time_token = True
+        from aline_tpu.tasks import GPTask
+        model = build_model(cfg)
+        task = GPTask(cfg.task)
+        batch = task.sample_batch(rng_key, 3)
+        batch = batch.replace(t=jnp.asarray(0.7, jnp.float32))
+        params = model.init(rng_key, batch, training=False)
+        dense = model.apply(params, batch, training=False)
+        comp = model.apply(params, batch.replace(ctx_capacity=3),
+                           training=False)
+        np.testing.assert_allclose(
+            np.asarray(dense.posterior_out.mixture_means),
+            np.asarray(comp.posterior_out.mixture_means),
+            rtol=2e-5, atol=2e-5)
+
+    def test_rollout_compact_equals_dense(self, rng_key):
+        """Greedy rollouts must choose identical designs under both paths."""
+        from aline_tpu.ops.target_mask import target_weight_vectors
+        from aline_tpu.train.rollout import rollout
+        from aline_tpu.tasks import GPTask
+        cfg = small_cfg()
+        model = build_model(cfg)
+        task = GPTask(cfg.task)
+        batch = task.sample_batch(rng_key, 4)
+        params = model.init(rng_key, batch, training=False)
+        w_q, w_p = target_weight_vectors(np.ones(6, bool), "mix", "all", 4, 2)
+        ro_d = rollout(model, params, batch, 4, jnp.asarray(w_q),
+                       jnp.asarray(w_p), rng_key, training=False)
+        ro_c = rollout(model, params, batch.replace(ctx_capacity=6), 4,
+                       jnp.asarray(w_q), jnp.asarray(w_p), rng_key,
+                       training=False)
+        np.testing.assert_array_equal(np.asarray(ro_d.idx),
+                                      np.asarray(ro_c.idx))
+        np.testing.assert_allclose(np.asarray(ro_d.nll_pred),
+                                   np.asarray(ro_c.nll_pred),
+                                   rtol=1e-4, atol=1e-5)
