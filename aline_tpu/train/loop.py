@@ -218,12 +218,13 @@ class Trainer:
         m["T"] = T
         return m
 
-    def train(self, eval_hook=None):
+    def train(self, eval_hook=None, tracker=None):
         """Full training run (reference: train_aline.py:53-181).
 
         Args:
             eval_hook: optional callable(trainer, epoch) → dict run every
                 ``verbose`` epochs when cfg.eval.EIG (PCE/NMC bounds).
+            tracker: optional RunTracker for metric series.
         """
         cfg = self.cfg
         self._ensure_phase(phase_for_epoch(cfg, self.start_epoch))
@@ -239,6 +240,8 @@ class Trainer:
             if epoch % cfg.verbose == 0:
                 m = {k: float(v) for k, v in m.items()}  # sync point
                 self.metrics.log(**m)
+                if tracker is not None:
+                    tracker.log(m, step=epoch)
                 self.logger.info(
                     f"Epoch: {epoch}, loss: {m['loss']:.4f}, T: {m['T']}, "
                     f"likelihood: {m['likelihood']:.4f}, design_loss: "
@@ -246,6 +249,10 @@ class Trainer:
                     f"{m['predict_loss']:.4f}")
                 if cfg.eval.EIG and eval_hook is not None:
                     bounds = eval_hook(self, epoch)
+                    if tracker is not None:
+                        tracker.log({k: v for k, v in bounds.items()
+                                     if isinstance(v, (int, float))},
+                                    step=epoch)
                     self.logger.info(
                         f"PCE: {bounds.get('pce_mean')}\t"
                         f"NMC: {bounds.get('nmc_mean')}")

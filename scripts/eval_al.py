@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headless active-learning evaluation (replaces notebooks/eval_al.ipynb).
+
+Loads a trained run, rolls out the amortized policy and the baseline
+acquisition strategies on fresh GP batches (and optionally the classical
+GP baselines and analytic benchmark functions), and saves per-step
+log-prob / RMSE curves to ``<run_dir>/eval/al_curves.npz``.
+
+Usage:
+    python scripts/eval_al.py RUN_DIR [--batch-size 100] [--T 30]
+        [--n-query 500] [--with-gp-baselines] [--benchmark forrester]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--file-name", default="aline")
+    ap.add_argument("--batch-size", type=int, default=100)
+    ap.add_argument("--T", type=int, default=30)
+    ap.add_argument("--n-query", type=int, default=500)
+    ap.add_argument("--with-gp-baselines", action="store_true")
+    ap.add_argument("--gp-fit-steps", type=int, default=80)
+    ap.add_argument("--benchmark", default=None,
+                    help="also evaluate OOD on this analytic benchmark")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from aline_tpu.eval.al_curves import compare_strategies
+    from aline_tpu.eval.gp_al_baselines import compare_acquisition_methods
+    from aline_tpu.tasks import build_task
+    from aline_tpu.utils.serialization import load_config_and_model
+
+    cfg, model, params = load_config_and_model(args.run_dir, args.file_name)
+    task = build_task(cfg.task)
+    key = jax.random.key(args.seed)
+    k_batch, k_roll = jax.random.split(key)
+    batch = task.sample_batch(k_batch, args.batch_size,
+                              n_query=args.n_query)
+
+    results = {}
+    curves = compare_strategies(model, params, batch, args.T, k_roll,
+                                time_token=cfg.time_token)
+    for name, out in curves.items():
+        results[f"{name}_log_prob"] = np.asarray(out["log_prob"])
+        results[f"{name}_rmse"] = np.asarray(out["rmse"])
+        print(f"{name}: final log_prob "
+              f"{results[f'{name}_log_prob'][:, -1].mean():.4f}, "
+              f"final rmse {results[f'{name}_rmse'][:, -1].mean():.4f}")
+
+    if args.with_gp_baselines and batch.n_target_data > 0:
+        gp_res = compare_acquisition_methods(
+            batch.x, batch.y, batch.target_x,
+            batch.target_all[:, :batch.n_target_data],
+            task.n_context_init, args.T, k_roll,
+            fit_steps=args.gp_fit_steps)
+        for name, out in gp_res.items():
+            results[f"gp_{name}_log_prob"] = np.asarray(out["log_prob"])
+            results[f"gp_{name}_rmse"] = np.asarray(out["rmse"])
+            print(f"gp_{name}: final rmse "
+                  f"{results[f'gp_{name}_rmse'][:, -1].mean():.4f}")
+
+    if args.benchmark:
+        from aline_tpu.config import BenchmarkTaskConfig
+        from aline_tpu.tasks import BenchmarkTask
+        bcfg = BenchmarkTaskConfig(
+            name="Benchmark", dim_x=cfg.task.dim_x,
+            embedding_type=cfg.task.embedding_type,
+            n_context_init=cfg.task.n_context_init,
+            n_query_init=args.n_query,
+            n_target_data=cfg.task.n_target_data,
+            n_target_theta=cfg.task.n_target_theta,
+            design_scale=cfg.task.design_scale,
+            benchmark_name=args.benchmark)
+        btask = BenchmarkTask(bcfg)
+        bbatch = btask.sample_batch(
+            k_batch, args.batch_size,
+            mode=("mix" if cfg.task.embedding_type == "mix" else "data"))
+        bcurves = compare_strategies(model, params, bbatch, args.T, k_roll,
+                                     time_token=cfg.time_token)
+        for name, out in bcurves.items():
+            results[f"bench_{args.benchmark}_{name}_rmse"] = \
+                np.asarray(out["rmse"])
+
+    out_dir = os.path.join(args.run_dir, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "al_curves.npz")
+    np.savez(out_path, **results)
+    print(f"saved curves to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

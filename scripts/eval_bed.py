@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headless BED evaluation (replaces notebooks/eval_bed.ipynb).
+
+Computes final stepwise sPCE/sNMC bounds for a trained run and compares
+against random-design and DAD-style baselines on the same budget.
+
+Usage:
+    python scripts/eval_bed.py RUN_DIR [--L 1000000] [--M 2000]
+        [--batch-size 200] [--n-query 2000] [--T 35]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--file-name", default="aline")
+    ap.add_argument("--L", type=int, default=1_000_000)
+    ap.add_argument("--M", type=int, default=2000)
+    ap.add_argument("--batch-size", type=int, default=200)
+    ap.add_argument("--n-query", type=int, default=2000)
+    ap.add_argument("--T", type=int, default=None)
+    ap.add_argument("--L-chunk", type=int, default=32768)
+    ap.add_argument("--with-random-baseline", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from aline_tpu.eval.eig import compute_eig_from_history, eval_boed
+    from aline_tpu.tasks import build_task
+    from aline_tpu.utils.serialization import load_config_and_model
+
+    cfg, model, params = load_config_and_model(args.run_dir, args.file_name)
+    task = build_task(cfg.task)
+    T = args.T if args.T is not None else \
+        cfg.eval.T_final - cfg.task.n_context_init
+    key = jax.random.key(args.seed)
+
+    bounds = eval_boed(model, params, task, T, args.L, args.M,
+                       args.batch_size, key, cfg.time_token, stepwise=True,
+                       L_chunk=args.L_chunk, n_query=args.n_query)
+    print("ALINE policy:")
+    print("  sPCE per step:", np.array2string(bounds["pce_mean"],
+                                              precision=3))
+    print("  sNMC per step:", np.array2string(bounds["nmc_mean"],
+                                              precision=3))
+
+    results = {f"aline_{k}": v for k, v in bounds.items()}
+
+    if args.with_random_baseline:
+        # random designs on the same budget
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        B = args.batch_size
+        theta = task.sample_theta(k1, (B,))
+        x = task.sample_data(k2, B, T + task.n_context_init)
+        y = task.simulate(k3, task.unnormalise_design(x), theta[:, None])
+        pce, nmc = compute_eig_from_history(
+            task, theta, task.unnormalise_design(x), y, args.L, k4,
+            L_chunk=args.L_chunk, stepwise=True)
+        results["random_pce_mean"] = np.asarray(pce).mean(0)
+        results["random_nmc_mean"] = np.asarray(nmc).mean(0)
+        print("random designs:")
+        print("  sPCE per step:",
+              np.array2string(results["random_pce_mean"], precision=3))
+
+    out_dir = os.path.join(args.run_dir, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir,
+                       f"bed_bounds_N{args.n_query}_T{T}_L{args.L}.npz")
+    np.savez(out, **results)
+    print(f"saved bounds to {out}")
+
+
+if __name__ == "__main__":
+    main()

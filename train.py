@@ -27,10 +27,12 @@ def main(argv=None):
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     from aline_tpu.utils.logging import create_logger
+    from aline_tpu.utils.serialization import save_config
     logger = create_logger(os.path.join(cfg.output_dir, "logs"),
                            name=cfg.task.name or "aline")
     logger.info("Running with config:\n%s", to_yaml(cfg))
     logger.info("JAX devices: %s", jax.devices())
+    save_config(cfg, cfg.output_dir)
 
     from aline_tpu.train.loop import Trainer
     trainer = Trainer(cfg, logger=logger)
@@ -50,7 +52,11 @@ def main(argv=None):
             return {"pce_mean": float(b["pce_mean"]),
                     "nmc_mean": float(b["nmc_mean"])}
 
-    trainer.train(eval_hook=eval_hook)
+    from aline_tpu.config import to_dict
+    from aline_tpu.utils.tracking import RunTracker
+    tracker = RunTracker(cfg.output_dir, config=to_dict(cfg))
+    trainer.train(eval_hook=eval_hook, tracker=tracker)
+    tracker.finish()
 
     # final save (reference: train_aline.py:259)
     from aline_tpu.train.checkpoint import save_checkpoint
