@@ -41,7 +41,7 @@ class Aline(nn.Module):
                             batch.target_mask, with_time)
         compact = None
         impl = self.encoder.cfg.attention_impl
-        if impl in ("compact", "auto", "flash") and batch.ctx_capacity > 0:
+        if impl in ("compact", "auto") and batch.ctx_capacity > 0:
             if batch.ctx_idx is not None:
                 # incrementally maintained index buffer (no per-step sort)
                 count = jnp.sum(batch.ctx_mask, axis=1)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from aline_tpu.config import EncoderConfig
@@ -33,10 +34,12 @@ from aline_tpu.ops.roles import Roles, attention_bias, build_roles
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """MHA with a pluggable masked-attention core: dense additive-bias or
-    compact-key gather (see aline_tpu.ops.attention)."""
+    """MHA with a pluggable masked-attention core: dense additive-bias,
+    compact-key gather, or the Pallas fused kernel
+    (see aline_tpu.ops.attention / aline_tpu.ops.flash_attention)."""
     dim_embedding: int
     n_head: int
+    impl: str = "naive"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, roles: Roles,
@@ -52,6 +55,12 @@ class MultiHeadSelfAttention(nn.Module):
         v = v.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         if compact is not None:
             out = compact_attention(q, k, v, roles, compact)
+        elif self.impl == "flash":
+            from aline_tpu.ops.flash_attention import (
+                flash_role_attention, roles_to_codes)
+            kcode, qrow = roles_to_codes(roles)
+            interpret = jax.default_backend() != "tpu"
+            out = flash_role_attention(q, k, v, kcode, qrow, interpret)
         else:
             out = dense_bias_attention(q, k, v, bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
@@ -65,12 +74,14 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int
     n_head: int
     dropout: float
+    impl: str = "naive"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, roles: Roles,
                  bias: jnp.ndarray = None, compact: CompactKeys = None,
                  deterministic: bool = True) -> jnp.ndarray:
         sa = MultiHeadSelfAttention(self.dim_embedding, self.n_head,
+                                    self.impl,
                                     name="self_attn")(x, roles, bias,
                                                       compact)
         sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
@@ -109,13 +120,14 @@ class Encoder(nn.Module):
                 [jnp.broadcast_to(t_emb[None],
                                   (B, 1, self.cfg.dim_embedding)), tokens],
                 axis=1)
+        impl = self.cfg.attention_impl
         bias = None
-        if compact is None:
+        if compact is None and impl != "flash":
             bias = attention_bias(roles, tokens.dtype)       # [B, 1, N, N]
         x = tokens
         for i in range(self.cfg.num_layers):
             x = EncoderLayer(self.cfg.dim_embedding, self.cfg.dim_feedforward,
-                             self.cfg.n_head, self.cfg.dropout,
+                             self.cfg.n_head, self.cfg.dropout, impl,
                              name=f"layer_{i}")(x, roles, bias, compact,
                                                 deterministic)
         return x
