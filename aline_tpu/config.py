@@ -42,6 +42,9 @@ class EncoderConfig:
     # (reference: model/encoder.py:144-223 EncoderWithTime; not wired into
     #  any reference config, provided as a capability).
     with_time_token: bool = False
+    # Compute dtype ("float32" | "bfloat16"); params stay float32, score
+    # softmaxes and head outputs are always float32.
+    dtype: str = "float32"
 
 
 @dataclass
@@ -270,6 +273,9 @@ class Config:
     mesh_data: int = 0
     # Computation dtype for the model ("float32" | "bfloat16").
     dtype: str = "float32"
+    # Numerics guard: enable jax_debug_nans (the TPU equivalent of the
+    # reference's NaN guards, SURVEY.md §5.2).
+    debug_nans: bool = False
 
     task: TaskConfig = field(default_factory=lambda: _task_presets()["al_mix"])
     encoder: EncoderConfig = field(default_factory=EncoderConfig)

@@ -60,6 +60,11 @@ class Aline(nn.Module):
 def build_model(cfg: Config) -> Aline:
     """Instantiate the model from config (the hydra-instantiate equivalent,
     reference: train_aline.py:246-249)."""
+    # cfg.dtype (train-level) flows into the encoder group so one flag
+    # switches the whole compute path to bfloat16
+    if cfg.dtype != "float32":
+        cfg.encoder.dtype = cfg.dtype
+    dtype = jnp.dtype(cfg.encoder.dtype)
     embedder = Embedder(
         dim_x=cfg.task.dim_x,
         dim_y=cfg.task.dim_y,
@@ -69,6 +74,7 @@ def build_model(cfg: Config) -> Aline:
                         if cfg.task.embedding_type in ("theta", "mix") else 0),
         embedding_type=cfg.task.embedding_type,
         continuous=cfg.embedder.continuous,
+        dtype=dtype,
     )
     encoder = Encoder(cfg.encoder)
     head_cls = ContinuousOutputHead if cfg.head.continuous else OutputHead
@@ -81,6 +87,7 @@ def build_model(cfg: Config) -> Aline:
         single_head=cfg.head.single_head,
         std_min=cfg.head.std_min,
         time_token=cfg.time_token,
+        dtype=dtype,
     )
     if not cfg.head.continuous:
         kwargs["value_head"] = cfg.head.value_head

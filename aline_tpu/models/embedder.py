@@ -25,11 +25,13 @@ class MLPEmbed(nn.Module):
     """Linear → ReLU → Linear (reference: model/embedder.py:47-57)."""
     dim_feedforward: int
     dim_embedding: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.dim_feedforward, name="fc1")(x)
-        return nn.Dense(self.dim_embedding, name="fc2")(nn.relu(h))
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="fc1")(x)
+        return nn.Dense(self.dim_embedding, dtype=self.dtype,
+                        name="fc2")(nn.relu(h))
 
 
 class Embedder(nn.Module):
@@ -42,6 +44,7 @@ class Embedder(nn.Module):
     # ContinuousEmbedder variant: the query-pool slots are replaced by a
     # single learnable design token (reference: model/embedder.py:218-301).
     continuous: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         if self.embedding_type in ("theta", "mix"):
@@ -57,9 +60,9 @@ class Embedder(nn.Module):
                 "query_token", nn.initializers.normal(1.0),
                 (1, self.dim_embedding))
         self.x_embedder = MLPEmbed(self.dim_feedforward, self.dim_embedding,
-                                   name="x_embedder")
+                                   self.dtype, name="x_embedder")
         self.y_embedder = MLPEmbed(self.dim_feedforward, self.dim_embedding,
-                                   name="y_embedder")
+                                   self.dtype, name="y_embedder")
 
     def __call__(self, batch: Batch) -> jnp.ndarray:
         """Embed a batch into [B, N, D] tokens.
@@ -67,6 +70,8 @@ class Embedder(nn.Module):
         N = n_points + n_target_data (data/mix) + n_target_theta (theta/mix).
         """
         B = batch.batch_size
+        batch = batch.replace(x=batch.x.astype(self.dtype),
+                              y=batch.y.astype(self.dtype))
         pts = self.x_embedder(batch.x)                        # [B, P, D]
         y_emb = self.y_embedder(batch.y)                      # [B, P, D]
         # context tokens carry x+y; pool tokens x only (reference :97-126)

@@ -40,6 +40,7 @@ class MultiHeadSelfAttention(nn.Module):
     dim_embedding: int
     n_head: int
     impl: str = "naive"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, roles: Roles,
@@ -48,7 +49,8 @@ class MultiHeadSelfAttention(nn.Module):
         B, N, D = x.shape
         H = self.n_head
         dh = D // H
-        qkv = nn.Dense(3 * D, name="qkv_proj")(x)            # [B, N, 3D]
+        qkv = nn.Dense(3 * D, dtype=self.dtype,
+                       name="qkv_proj")(x)                   # [B, N, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
@@ -64,7 +66,8 @@ class MultiHeadSelfAttention(nn.Module):
         else:
             out = dense_bias_attention(q, k, v, bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
-        return nn.Dense(D, name="out_proj")(out)
+        return nn.Dense(D, dtype=self.dtype,
+                        name="out_proj")(out.astype(self.dtype))
 
 
 class EncoderLayer(nn.Module):
@@ -75,23 +78,26 @@ class EncoderLayer(nn.Module):
     n_head: int
     dropout: float
     impl: str = "naive"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, roles: Roles,
                  bias: jnp.ndarray = None, compact: CompactKeys = None,
                  deterministic: bool = True) -> jnp.ndarray:
         sa = MultiHeadSelfAttention(self.dim_embedding, self.n_head,
-                                    self.impl,
+                                    self.impl, self.dtype,
                                     name="self_attn")(x, roles, bias,
                                                       compact)
         sa = nn.Dropout(self.dropout, deterministic=deterministic)(sa)
-        x = nn.LayerNorm(name="norm1")(x + sa)
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + sa)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                      name="linear1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        ff = nn.Dense(self.dim_embedding, name="linear2")(ff)
+        ff = nn.Dense(self.dim_embedding, dtype=self.dtype,
+                      name="linear2")(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        return nn.LayerNorm(name="norm2")(x + ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
 
 
 class Encoder(nn.Module):
@@ -112,9 +118,11 @@ class Encoder(nn.Module):
         Returns:
             [B, N(+1 if time), D] encoded tokens (time token first if used).
         """
+        dtype = jnp.dtype(self.cfg.dtype)
         if self.cfg.with_time_token:
             B = tokens.shape[0]
-            t_emb = nn.Dense(self.cfg.dim_embedding, name="time_proj")(
+            t_emb = nn.Dense(self.cfg.dim_embedding, dtype=dtype,
+                             name="time_proj")(
                 jnp.reshape(t, (1, 1)).astype(tokens.dtype))
             tokens = jnp.concatenate(
                 [jnp.broadcast_to(t_emb[None],
@@ -127,7 +135,7 @@ class Encoder(nn.Module):
         x = tokens
         for i in range(self.cfg.num_layers):
             x = EncoderLayer(self.cfg.dim_embedding, self.cfg.dim_feedforward,
-                             self.cfg.n_head, self.cfg.dropout, impl,
+                             self.cfg.n_head, self.cfg.dropout, impl, dtype,
                              name=f"layer_{i}")(x, roles, bias, compact,
                                                 deterministic)
         return x

@@ -54,12 +54,13 @@ class AlineOutput:
 class AcquisitionHead(nn.Module):
     """Per-candidate design scores (reference: model/head.py:9-44).
 
-    Returns RAW scores; pool masking + softmax happen in the output head so
-    consumed/context candidates are excluded exactly like the reference's
-    softmax over the shrinking query pool.
+    Returns RAW scores (f32); pool masking + softmax happen in the output
+    head so consumed/context candidates are excluded exactly like the
+    reference's softmax over the shrinking query pool.
     """
     dim_feedforward: int
     time_token: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z_query: jnp.ndarray,
@@ -69,9 +70,11 @@ class AcquisitionHead(nn.Module):
             t_feat = jnp.broadcast_to(
                 jnp.reshape(t, (1, 1, 1)).astype(z_query.dtype), (B, N, 1))
             z_query = jnp.concatenate([z_query, t_feat], axis=-1)
-        h = nn.Dense(self.dim_feedforward, name="predictor_fc1")(z_query)
-        s = nn.Dense(1, name="predictor_fc2")(nn.relu(h))
-        return s[..., 0]                                     # [B, n_points]
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     name="predictor_fc1")(z_query)
+        s = nn.Dense(1, dtype=self.dtype,
+                     name="predictor_fc2")(nn.relu(h))
+        return s[..., 0].astype(jnp.float32)                 # [B, n_points]
 
 
 class ContinuousAcquisitionHead(nn.Module):
@@ -99,13 +102,17 @@ class ContinuousAcquisitionHead(nn.Module):
 class ValueHead(nn.Module):
     """Critic over context tokens (reference: model/head.py:84-111)."""
     dim_feedforward: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z_points: jnp.ndarray,
                  ctx_mask: jnp.ndarray) -> jnp.ndarray:
         empty_value = self.param("empty_value", nn.initializers.zeros, (1,))
-        h = nn.Dense(self.dim_feedforward, name="predictor_fc1")(z_points)
-        v = nn.Dense(1, name="predictor_fc2")(nn.relu(h))[..., 0]  # [B, P]
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     name="predictor_fc1")(z_points)
+        v = nn.Dense(1, dtype=self.dtype,
+                     name="predictor_fc2")(nn.relu(h))[..., 0]
+        v = v.astype(jnp.float32)                            # [B, P]
         w = ctx_mask.astype(v.dtype)
         count = jnp.sum(w, axis=1)
         mean_v = jnp.sum(v * w, axis=1) / jnp.maximum(count, 1.0)
@@ -133,6 +140,7 @@ class GMMTargetHead(nn.Module):
     num_components: int
     single_head: bool = False
     std_min: float = 1e-4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> GMMParams:
@@ -142,9 +150,10 @@ class GMMTargetHead(nn.Module):
                 "TODO at :150: 'support multi-output case')")
         C = self.num_components
         if self.single_head:
-            h = nn.Dense(self.dim_feedforward, name="fc1")(z)
-            out = nn.Dense(3 * C, name="fc2")(nn.relu(h))
-            out = out.reshape(z.shape[:-1] + (3, C))
+            h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                         name="fc1")(z)
+            out = nn.Dense(3 * C, dtype=self.dtype, name="fc2")(nn.relu(h))
+            out = out.astype(jnp.float32).reshape(z.shape[:-1] + (3, C))
             raw_mean, raw_std, raw_w = out[..., 0, :], out[..., 1, :], \
                 out[..., 2, :]
         else:
@@ -155,8 +164,11 @@ class GMMTargetHead(nn.Module):
             w2 = self.param("heads_w2", nn.initializers.lecun_normal(),
                             (C, F, 3))
             b2 = self.param("heads_b2", nn.initializers.zeros, (C, 3))
-            h = nn.relu(jnp.einsum("btd,cdf->btcf", z, w1) + b1)
-            out = jnp.einsum("btcf,cfo->btco", h, w2) + b2   # [B, T, C, 3]
+            cd = self.dtype
+            h = nn.relu(jnp.einsum("btd,cdf->btcf", z.astype(cd),
+                                   w1.astype(cd)) + b1.astype(cd))
+            out = jnp.einsum("btcf,cfo->btco", h, w2.astype(cd)).astype(
+                jnp.float32) + b2                            # [B, T, C, 3]
             raw_mean, raw_std, raw_w = (out[..., 0], out[..., 1],
                                         out[..., 2])
         std = nn.softplus(raw_std) + self.std_min
@@ -175,16 +187,18 @@ class OutputHead(nn.Module):
     std_min: float = 1e-4
     value_head: bool = False
     time_token: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.acquisition_head = AcquisitionHead(
-            self.dim_feedforward, self.time_token, name="acquisition_head")
+            self.dim_feedforward, self.time_token, self.dtype,
+            name="acquisition_head")
         self.target_head = GMMTargetHead(
             self.dim_y, self.dim_embedding, self.dim_feedforward,
             self.num_components, self.single_head, self.std_min,
-            name="target_head")
+            self.dtype, name="target_head")
         if self.value_head:
-            self.value_module = ValueHead(self.dim_feedforward,
+            self.value_module = ValueHead(self.dim_feedforward, self.dtype,
                                           name="value_head")
 
     def __call__(self, batch: Batch, z: jnp.ndarray, *, training: bool,
@@ -239,6 +253,7 @@ class ContinuousOutputHead(nn.Module):
     single_head: bool = False
     std_min: float = 1e-4
     time_token: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.acquisition_head = ContinuousAcquisitionHead(
@@ -247,7 +262,7 @@ class ContinuousOutputHead(nn.Module):
         self.target_head = GMMTargetHead(
             self.dim_y, self.dim_embedding, self.dim_feedforward,
             self.num_components, self.single_head, self.std_min,
-            name="target_head")
+            self.dtype, name="target_head")
 
     def __call__(self, batch: Batch, z: jnp.ndarray, *, training: bool,
                  rng: Optional[jax.Array] = None,

@@ -23,6 +23,7 @@ derives them from the flags with one stable argsort.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -55,12 +56,15 @@ def context_indices(ctx_mask: jnp.ndarray, capacity: int,
 
 
 def dense_bias_attention(q, k, v, bias):
-    """Reference dense path.  q/k/v: [B, H, N, dh]; bias: [B, 1, N, N]."""
+    """Reference dense path.  q/k/v: [B, H, N, dh]; bias: [B, 1, N, N].
+
+    Scores accumulate in f32 and the softmax runs in f32 regardless of the
+    compute dtype (bf16-safe)."""
     dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-        jnp.asarray(dh, q.dtype))
-    attn = jax.nn.softmax(scores + bias, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(
+        jnp.float32) / math.sqrt(dh)
+    attn = jax.nn.softmax(scores + bias.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(q.dtype), v)
 
 
 def compact_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -97,7 +101,7 @@ def compact_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     V = jnp.concatenate([v_ctx, v_ext], axis=2)
 
     # ---- bias over compact columns ---------------------------------------
-    neg = jnp.asarray(NEG_INF, q.dtype)
+    neg = jnp.asarray(NEG_INF, jnp.float32)
     # context columns: visible to every row when within the live count
     ctx_bias = jnp.where(compact.ctx_valid, 0.0, neg)        # [B, Ck]
     ctx_bias = ctx_bias[:, None, None, :]                    # [B,1,1,Ck]
@@ -113,7 +117,7 @@ def compact_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         [jnp.broadcast_to(ctx_bias, (B, 1, N, ctx_bias.shape[-1])),
          ext_bias[:, None]], axis=-1)                        # [B,1,N,Nk]
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, K) / jnp.sqrt(
-        jnp.asarray(dh, q.dtype))
-    attn = jax.nn.softmax(scores + bias, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, V)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, K).astype(
+        jnp.float32) / math.sqrt(dh)
+    attn = jax.nn.softmax(scores + bias.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(q.dtype), V)

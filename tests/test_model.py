@@ -344,3 +344,54 @@ class TestCompactAttention:
         np.testing.assert_allclose(np.asarray(ro_d.nll_pred),
                                    np.asarray(ro_c.nll_pred),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestBF16:
+    def test_bf16_forward_close_to_f32(self, rng_key):
+        from aline_tpu.tasks import GPTask
+        cfg = small_cfg()
+        model32 = build_model(cfg)
+        task = GPTask(cfg.task)
+        batch = task.sample_batch(rng_key, 4)
+        params = model32.init(rng_key, batch, training=False)
+        out32 = model32.apply(params, batch, training=False)
+        cfg16 = small_cfg()
+        cfg16.dtype = "bfloat16"
+        model16 = build_model(cfg16)
+        out16 = model16.apply(params, batch, training=False)
+        # head outputs are f32 dtypes in both cases
+        assert out16.posterior_out.mixture_means.dtype == jnp.float32
+        assert out16.design_out.log_prob.dtype == jnp.float32
+        # values agree to bf16 precision
+        np.testing.assert_allclose(
+            np.asarray(out16.posterior_out.mixture_means),
+            np.asarray(out32.posterior_out.mixture_means),
+            rtol=0.1, atol=0.1)
+        # params remain f32 (param_dtype default)
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert leaf.dtype == jnp.float32
+
+    def test_bf16_training_step_finite(self, rng_key):
+        from aline_tpu.ops.target_mask import target_weight_vectors
+        from aline_tpu.tasks import GPTask
+        from aline_tpu.train.rollout import rollout
+        from aline_tpu.train.loss import total_loss
+        cfg = small_cfg()
+        cfg.dtype = "bfloat16"
+        model = build_model(cfg)
+        task = GPTask(cfg.task)
+        batch = task.sample_batch(rng_key, 4)
+        params = model.init(rng_key, batch, training=False)
+        w_q, w_p = target_weight_vectors(np.ones(6, bool), "mix", "all", 4, 2)
+
+        def loss_fn(p):
+            ro = rollout(model, p, batch, 3, jnp.asarray(w_q),
+                         jnp.asarray(w_p), rng_key, training=True)
+            loss, _ = total_loss(ro, 1.0, jnp.asarray(1.0))
+            return loss
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+            assert leaf.dtype == jnp.float32

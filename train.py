@@ -23,6 +23,8 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     from aline_tpu.config import parse_overrides, to_yaml
     cfg = parse_overrides(argv)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
 
