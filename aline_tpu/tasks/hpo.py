@@ -30,24 +30,20 @@ class HPOB:
 
     def __init__(self, meta_dataset: str = "glmnet",
                  data_path: Optional[str] = None):
+        from aline_tpu.tasks.hpob_native import load_hpob_arrays
         self.meta_dataset = meta_dataset
         self.path = data_path or os.path.join(
             os.path.dirname(os.path.realpath(__file__)), "..", "..", "data")
-        self.data = self._load(meta_dataset)
-        self.dataset_ids = list(self.data.keys())
+        # dense arrays parsed by the native C++ loader when built
+        # (native/hpob_loader.cpp), else the json fallback
+        arrays = load_hpob_arrays(
+            os.path.join(self.path, "HPOB", f"{meta_dataset}.json"))
+        self._X = {k: v[0] for k, v in arrays.items()}
+        self._y = {k: v[1] for k, v in arrays.items()}
+        self.dataset_ids = list(arrays.keys())
         self.n_dataset = len(self.dataset_ids)
-        first = self.data[self.dataset_ids[0]]
-        self.min_data_size = min(len(d["X"]) for d in self.data.values())
-        self.dim_x = len(first["X"][0])
-        # Pre-convert to dense arrays once (host-side)
-        self._X = {k: np.asarray(v["X"], np.float32)
-                   for k, v in self.data.items()}
-        self._y = {k: np.asarray(v["y"], np.float32).reshape(-1, 1)
-                   for k, v in self.data.items()}
-
-    def _load(self, meta_dataset: str) -> Dict:
-        with open(os.path.join(self.path, "HPOB", f"{meta_dataset}.json")) as f:
-            return json.load(f)
+        self.min_data_size = min(x.shape[0] for x in self._X.values())
+        self.dim_x = self._X[self.dataset_ids[0]].shape[1]
 
     def sample(self, rng: np.random.Generator, batch_size: int = 16,
                n_context: Optional[int] = None, n_query: Optional[int] = None,
