@@ -121,9 +121,13 @@ class GPTask(Task):
         random permutations, which preserves the uniformity property the
         reference relies on without a host-side Sobol engine loop."""
         k_shift, k_perm = jax.random.split(key)
-        # golden-ratio based rank-1 lattice generator vector
+        # R_d Kronecker sequence generator vector (generalized golden
+        # ratio g: g^(d+1) = g + 1), the standard low-discrepancy choice
+        g = 1.0
+        for _ in range(64):
+            g = (1.0 + g) ** (1.0 / (self.dim_x + 1))
         alphas = jnp.array(
-            [(math.sqrt(2) ** (d + 1)) % 1.0 for d in range(self.dim_x)],
+            [((1.0 / g) ** (d + 1)) % 1.0 for d in range(self.dim_x)],
             jnp.float32)
         i = jnp.arange(n_data, dtype=jnp.float32)[:, None]
         base = (i * alphas[None, :]) % 1.0                    # [N, D]
