@@ -141,6 +141,9 @@ class GMMTargetHead(nn.Module):
     single_head: bool = False
     std_min: float = 1e-4
     dtype: jnp.dtype = jnp.float32
+    # None → fused Pallas kernel on TPU, XLA einsum elsewhere;
+    # True/False force the choice (see ops/gmm_head_kernel.py)
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> GMMParams:
@@ -164,11 +167,20 @@ class GMMTargetHead(nn.Module):
             w2 = self.param("heads_w2", nn.initializers.lecun_normal(),
                             (C, F, 3))
             b2 = self.param("heads_b2", nn.initializers.zeros, (C, 3))
-            cd = self.dtype
-            h = nn.relu(jnp.einsum("btd,cdf->btcf", z.astype(cd),
-                                   w1.astype(cd)) + b1.astype(cd))
-            out = jnp.einsum("btcf,cfo->btco", h, w2.astype(cd)).astype(
-                jnp.float32) + b2                            # [B, T, C, 3]
+            backend = jax.default_backend()
+            use_fused = (self.fused if self.fused is not None
+                         else backend == "tpu")
+            if use_fused:
+                from aline_tpu.ops.gmm_head_kernel import fused_gmm_head
+                out = fused_gmm_head(z.astype(jnp.float32), w1, b1, w2, b2,
+                                     backend != "tpu")       # [B, T, C, 3]
+            else:
+                cd = self.dtype
+                h = nn.relu(jnp.einsum("btd,cdf->btcf", z.astype(cd),
+                                       w1.astype(cd)) + b1.astype(cd))
+                out = jnp.einsum("btcf,cfo->btco",
+                                 h, w2.astype(cd)).astype(
+                    jnp.float32) + b2                        # [B, T, C, 3]
             raw_mean, raw_std, raw_w = (out[..., 0], out[..., 1],
                                         out[..., 2])
         std = nn.softplus(raw_std) + self.std_min
