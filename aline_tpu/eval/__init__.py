@@ -1,5 +1,6 @@
 from aline_tpu.eval.al_curves import al_rollout_curves, compare_strategies
-from aline_tpu.eval.eig import compute_eig_from_history, eval_boed
+from aline_tpu.eval.eig import (compute_eig_from_history, eval_boed,
+    eval_eig_from_history)
 from aline_tpu.eval.eig_losses import (
     compute_seq_logprobs,
     nmc_loss,

@@ -157,6 +157,44 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
     return pce, nmc
 
 
+def eval_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
+                          M: Optional[int] = None, batch_size: int = 40,
+                          stepwise: bool = False, err_type: str = "se",
+                          L_chunk: int = 32_768,
+                          mesh: Optional[Mesh] = None
+                          ) -> Dict[str, np.ndarray]:
+    """Aggregate bounds from PRE-COMPUTED histories, mini-batched over the
+    outer M axis (reference: utils/eval.py:83-140).  Used for baseline
+    policies (random/grid/DAD traces) whose rollouts come from elsewhere.
+    """
+    M = x.shape[0] if M is None else min(M, x.shape[0])
+    pce_list, nmc_list = [], []
+    for start in range(0, M, batch_size):
+        end = min(start + batch_size, M)
+        key, k_eig = jax.random.split(key)
+        pce, nmc = compute_eig_from_history(
+            task, jax.tree_util.tree_map(lambda t: t[start:end], theta_0),
+            x[start:end], y[start:end], L, k_eig, L_chunk=L_chunk,
+            stepwise=stepwise, mesh=mesh)
+        pce_list.append(np.asarray(pce))
+        nmc_list.append(np.asarray(nmc))
+    pce = np.concatenate(pce_list, axis=0)
+    nmc = np.concatenate(nmc_list, axis=0)
+    M_eff = pce.shape[0]
+    pce_mean, pce_err = pce.mean(0), pce.std(0)
+    nmc_mean, nmc_err = nmc.mean(0), nmc.std(0)
+    if err_type == "se":
+        pce_err, nmc_err = (pce_err / np.sqrt(M_eff),
+                            nmc_err / np.sqrt(M_eff))
+    elif err_type == "ci":
+        pce_err, nmc_err = (1.96 * pce_err / np.sqrt(M_eff),
+                            1.96 * nmc_err / np.sqrt(M_eff))
+    elif err_type != "std":
+        raise ValueError(f"unknown err_type {err_type!r}")
+    return dict(pce_mean=pce_mean, pce_err=pce_err,
+                nmc_mean=nmc_mean, nmc_err=nmc_err)
+
+
 def eval_boed(model, params, task, T: int, L: int, M: int, batch_size: int,
               key: jax.Array, time_token: bool = False,
               stepwise: bool = False, err_type: str = "se",

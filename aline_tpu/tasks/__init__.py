@@ -2,7 +2,7 @@ from aline_tpu.tasks.base import Batch, Task, select_design
 from aline_tpu.tasks.benchmarks import BENCHMARKS, BenchmarkTask
 from aline_tpu.tasks.ces import CESTask
 from aline_tpu.tasks.gp import GPTask
-from aline_tpu.tasks.hpo import HPOB, HPOTask
+from aline_tpu.tasks.hpo import HPOB, HPOBHandler, HPOTask
 from aline_tpu.tasks.location_finding import HiddenLocation
 from aline_tpu.tasks.psychometric import PsychometricTask
 

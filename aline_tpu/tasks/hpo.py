@@ -25,6 +25,94 @@ DATASET_IDS = {"ranger": "7609", "glmnet": "5860", "svm": "5891",
                "rpart": "5859", "xgboost": "5971"}
 
 
+class HPOBHandler:
+    """Full HPO-B benchmark loader (reference: tasks/hpo.py:11-122):
+    v1/v2/v3 splits, augmented meta-train, surrogate summary stats, and
+    the standard test seeds."""
+
+    SEEDS = ["test0", "test1", "test2", "test3", "test4"]
+
+    def __init__(self, root_dir: str = "HPOB/", mode: str = "v3-test",
+                 surrogates_dir: str = "saved-surrogates/"):
+        self.mode = mode
+        self.surrogates_dir = surrogates_dir
+        self.seeds = list(self.SEEDS)
+        if mode == "v3-test":
+            self.load_data(root_dir, only_test=True)
+        elif mode == "v3-train-augmented":
+            self.load_data(root_dir, only_test=False, augmented_train=True)
+        elif mode in ("v1", "v2", "v3"):
+            self.load_data(root_dir, version=mode, only_test=False)
+        else:
+            raise ValueError("Provide a valid mode")
+        stats = os.path.join(surrogates_dir, "summary-stats.json")
+        if os.path.isfile(stats):
+            with open(stats) as f:
+                self.surrogates_stats = json.load(f)
+
+    def load_data(self, rootdir: str = "", version: str = "v3",
+                  only_test: bool = True, augmented_train: bool = False):
+        """(reference :46-102)."""
+        paths = {
+            "train_aug": os.path.join(rootdir,
+                                      "meta-train-dataset-augmented.json"),
+            "train": os.path.join(rootdir, "meta-train-dataset.json"),
+            "test": os.path.join(rootdir, "meta-test-dataset.json"),
+            "valid": os.path.join(rootdir, "meta-validation-dataset.json"),
+            "bo_init": os.path.join(rootdir, "bo-initializations.json"),
+        }
+        with open(paths["test"]) as f:
+            self.meta_test_data = json.load(f)
+        with open(paths["bo_init"]) as f:
+            self.bo_initializations = json.load(f)
+        self.meta_train_data = None
+        self.meta_validation_data = None
+        if not only_test:
+            train_path = (paths["train_aug"]
+                          if augmented_train or version == "v1"
+                          else paths["train"])
+            with open(train_path) as f:
+                self.meta_train_data = json.load(f)
+            with open(paths["valid"]) as f:
+                self.meta_validation_data = json.load(f)
+        if version != "v3" and self.meta_train_data is not None:
+            # v1/v2: merge all splits into one test view (reference :78-95)
+            merged = {}
+            for space, datasets in self.meta_train_data.items():
+                merged[space] = dict(datasets)
+                if space in self.meta_test_data:
+                    merged[space].update(self.meta_test_data[space])
+                    merged[space].update(
+                        self.meta_validation_data.get(space, {}))
+            self.meta_train_data = None
+            self.meta_validation_data = None
+            self.meta_test_data = merged
+        self.search_space_dims = {}
+        for space, datasets in self.meta_test_data.items():
+            first = next(iter(datasets.values()))
+            self.search_space_dims[space] = len(first["X"][0])
+
+    @staticmethod
+    def normalize(y, y_min=None, y_max=None):
+        """(reference :104-109)."""
+        y = np.asarray(y, np.float64)
+        if y_min is None:
+            return (y - y.min()) / (y.max() - y.min())
+        return (y - y_min) / (y_max - y_min)
+
+    def get_search_spaces(self):
+        return list(self.meta_test_data.keys())
+
+    def get_datasets(self, search_space):
+        return list(self.meta_test_data[search_space].keys())
+
+    def get_seeds(self):
+        return self.seeds
+
+    def get_search_space_dim(self, search_space):
+        return self.search_space_dims[search_space]
+
+
 class HPOB:
     """Per-meta-dataset loader (reference: tasks/hpo.py:124-249)."""
 

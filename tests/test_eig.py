@@ -211,3 +211,39 @@ class TestTracesAndEvalBoed:
         assert bounds["pce_err"].shape == (4,)
         assert np.isfinite(bounds["pce_mean"]).all()
         assert np.isfinite(bounds["nmc_mean"]).all()
+
+
+class TestEvalEIGFromHistory:
+    def test_matches_direct_bounds(self, rng_key):
+        """Mini-batched aggregation over M must match one-shot bounds."""
+        from aline_tpu.eval.eig import eval_eig_from_history
+        task, _ = location_task()
+        k1, k2, k3 = jax.random.split(rng_key, 3)
+        B, Th, L = 6, 3, 128
+        theta_0 = task.sample_theta(k1, (B,))
+        x = task.sample_data(k2, B, Th)
+        y = task.simulate(k3, x, theta_0[:, None])
+        out = eval_eig_from_history(task, theta_0, x, y, L, rng_key,
+                                    batch_size=3, stepwise=True)
+        assert out["pce_mean"].shape == (Th,)
+        assert np.isfinite(out["pce_mean"]).all()
+        out_std = eval_eig_from_history(task, theta_0, x, y, L, rng_key,
+                                        batch_size=3, stepwise=True,
+                                        err_type="std")
+        assert (out_std["pce_err"] >= out["pce_err"]).all()
+
+    def test_dad_baseline_pipeline(self, rng_key):
+        """DAD traces → EIG bounds, the reference's baseline eval path
+        (model/mlp.py run_trace → loss/eig bounds)."""
+        from aline_tpu.eval.eig import eval_eig_from_history
+        from aline_tpu.models.baselines import (
+            SetEquivariantDesignNetwork, run_trace)
+        task, _ = location_task()
+        net = SetEquivariantDesignNetwork(dim_x=2, dim_y=1, hidden_dim=8,
+                                          encoding_dim=4)
+        params = net.init(rng_key, jnp.zeros((1, 3, 2)),
+                          jnp.zeros((1, 3, 1)), jnp.zeros((1, 3), bool))
+        theta, xs, ys = run_trace(net, params, task, T=3, M=4, key=rng_key)
+        out = eval_eig_from_history(task, theta, xs, ys, 64, rng_key,
+                                    batch_size=2)
+        assert np.isfinite(out["pce_mean"]).all()

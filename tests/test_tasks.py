@@ -373,3 +373,36 @@ class TestNativeHPOBLoader:
         p.write_text('{"1": {"X": [[1, 2], [3]], "y": [[1], [2]]}}')  # ragged
         with pytest.raises(ValueError):
             hpob_native.load(str(p))
+
+
+class TestHPOBHandler:
+    @pytest.fixture
+    def hpob_bench_dir(self, tmp_path, np_rng):
+        d = tmp_path
+        test_data = {"space1": {"d1": {"X": np_rng.uniform(
+            size=(12, 3)).tolist(), "y": np_rng.uniform(
+            size=(12, 1)).tolist()}}}
+        (d / "meta-test-dataset.json").write_text(json.dumps(test_data))
+        bo = {"space1": {"d1": {f"test{i}": [0, 1, 2] for i in range(5)}}}
+        (d / "bo-initializations.json").write_text(json.dumps(bo))
+        return str(d)
+
+    def test_v3_test_mode(self, hpob_bench_dir):
+        from aline_tpu.tasks import HPOBHandler
+        h = HPOBHandler(root_dir=hpob_bench_dir, mode="v3-test")
+        assert h.get_search_spaces() == ["space1"]
+        assert h.get_datasets("space1") == ["d1"]
+        assert h.get_search_space_dim("space1") == 3
+        assert len(h.get_seeds()) == 5
+
+    def test_normalize(self):
+        from aline_tpu.tasks import HPOBHandler
+        y = HPOBHandler.normalize([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(y, [0.0, 0.5, 1.0])
+        y2 = HPOBHandler.normalize([1.0, 2.0], y_min=0.0, y_max=4.0)
+        np.testing.assert_allclose(y2, [0.25, 0.5])
+
+    def test_invalid_mode(self, hpob_bench_dir):
+        from aline_tpu.tasks import HPOBHandler
+        with pytest.raises(ValueError):
+            HPOBHandler(root_dir=hpob_bench_dir, mode="bogus")
