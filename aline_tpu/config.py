@@ -276,6 +276,10 @@ class Config:
     # Numerics guard: enable jax_debug_nans (the TPU equivalent of the
     # reference's NaN guards, SURVEY.md §5.2).
     debug_nans: bool = False
+    # Write a jax.profiler trace of the first few post-warmup epochs here
+    # (SURVEY.md §5.1: profiling as a first-class subsystem).
+    profile_dir: Optional[str] = None
+    profile_epochs: int = 3
 
     task: TaskConfig = field(default_factory=lambda: _task_presets()["al_mix"])
     encoder: EncoderConfig = field(default_factory=EncoderConfig)

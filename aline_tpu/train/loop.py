@@ -236,7 +236,20 @@ class Trainer:
         # wall-clock rate (total / n) rather than per-dispatch times.
         wall_start = time.perf_counter()
         epoch_times = []
+        profiling = False
         for epoch in range(self.start_epoch, cfg.max_epoch):
+            if cfg.profile_dir is not None:
+                # profile a few steady-state epochs after compilation
+                if epoch == self.start_epoch + 2 and not profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif profiling and epoch == self.start_epoch + 2 + \
+                        cfg.profile_epochs:
+                    jax.effects_barrier()
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.info(
+                        f"Profiler trace written to {cfg.profile_dir}")
             t0 = time.perf_counter()
             m = self.train_epoch(epoch)
             epoch_times.append(time.perf_counter() - t0)
@@ -265,7 +278,11 @@ class Trainer:
             if cfg.checkpoint and next_epoch % cfg.checkpoint == 0:
                 self.save(next_epoch)
 
-        _ = {k: float(v) for k, v in m.items()}  # final sync
+        if profiling:
+            jax.effects_barrier()
+            jax.profiler.stop_trace()
+        if epoch_times:
+            _ = {k: float(v) for k, v in m.items()}  # final sync
         total = time.perf_counter() - wall_start
         n = max(len(epoch_times), 1)
         self.logger.info(
