@@ -11,11 +11,12 @@ integer vectors instead of reading an [N, N] bias from HBM:
     allowed(i, j) = kcode[j] == 1  or  (qrow[i] and kcode[j] == 2)
 
 Compared to the XLA dense path this kernel never materializes the
-[B, H, N, N] score tensor in HBM — scores live in VMEM per (batch, head,
-q-block) tile, with the full K/V resident in VMEM (N up to a few thousand
-at d_head = 8..128 fits easily).  The backward pass is a second kernel pair
-using the saved row logsumexp, with dK/dV accumulated in VMEM across
-q-blocks (grid-revisited output blocks).
+[B, H, N, N] score tensor in HBM — scores live in VMEM per (batch,
+q-block) tile with the full K/V resident in VMEM, and ALL heads are
+processed inside one grid cell (head fusion amortizes the mask-code loads
+and grid overhead; d_head is small for this model).  The backward pass is
+a second kernel using the saved row logsumexp, with dK/dV accumulated in
+VMEM across q-blocks (grid-revisited output blocks).
 
 Equivalence to the naive path is tested in interpret mode on CPU and
 compiled on TPU (mirrors the reference's own encoder-equivalence test
@@ -29,75 +30,78 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
 
 
+def _allowed(kcode, qrow):
+    return (kcode[None, :] == 1) | (
+        (qrow[:, None] == 1) & (kcode[None, :] == 2))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, kcode_ref, qrow_ref, o_ref, lse_ref,
-                *, sm_scale):
-    q = q_ref[0, 0]                                          # [bq, dh]
-    k = k_ref[0, 0]                                          # [N, dh]
-    v = v_ref[0, 0]                                          # [N, dh]
+                *, sm_scale, H):
     kcode = kcode_ref[0, 0]                                  # [N]
     qrow = qrow_ref[0, 0]                                    # [bq]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale       # [bq, N]
-    allowed = (kcode[None, :] == 1) | (
-        (qrow[:, None] == 1) & (kcode[None, :] == 2))
-    s = jnp.where(allowed, s, NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)                   # [bq, 1]
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) / l
-    o_ref[0, 0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l)).astype(lse_ref.dtype)   # [bq, 1]
+    allowed = _allowed(kcode, qrow)
+    for h in range(H):
+        q = q_ref[0, h]                                      # [bq, dh]
+        k = k_ref[0, h]                                      # [N, dh]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale   # [bq, N]
+        s = jnp.where(allowed, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)               # [bq, 1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l
+        o_ref[0, h] = o.astype(o_ref.dtype)
+        lse_ref[0, h] = (m + jnp.log(l)).astype(lse_ref.dtype)  # [bq, 1]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, kcode_ref, qrow_ref, o_ref, lse_ref,
-                do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale):
-    i = pl.program_id(2)
+                do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, H):
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    o = o_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]                                      # [bq, 1]
     kcode = kcode_ref[0, 0]
     qrow = qrow_ref[0, 0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
-    allowed = (kcode[None, :] == 1) | (
-        (qrow[:, None] == 1) & (kcode[None, :] == 2))
-    s = jnp.where(allowed, s, NEG)
-    p = jnp.exp(s - lse)                                     # [bq, N]
-
-    dv_ref[0, 0] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [bq, N]
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)          # [bq, 1]
-    ds = p * (dp - delta)
-    dq_ref[0, 0] = (jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] += (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
+    allowed = _allowed(kcode, qrow)
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        o = o_ref[0, h]
+        do = do_ref[0, h]
+        lse = lse_ref[0, h]                                  # [bq, 1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(allowed, s, NEG)
+        p = jnp.exp(s - lse)                                 # [bq, N]
+        dv_ref[0, h] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [bq, N]
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)      # [bq, 1]
+        ds = p * (dp - delta)
+        dq_ref[0, h] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * sm_scale).astype(dq_ref.dtype)
+        dk_ref[0, h] += (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * sm_scale).astype(dk_ref.dtype)
 
 
 def _pad_to(x, size, axis, value=0):
@@ -128,32 +132,34 @@ def flash_role_attention(q, k, v, kcode, qrow, interpret=False):
     return o
 
 
-def _flash_call(q, k, v, kcode, qrow, interpret):
+def _prep(q, k, v, kcode, qrow):
     B, H, N, dh = q.shape
     bq = _block_q(N)
     Np = ((N + bq - 1) // bq) * bq
-    q_p = _pad_to(q, Np, 2)
-    k_p = _pad_to(k, Np, 2)
-    v_p = _pad_to(v, Np, 2)
-    kcode_p = _pad_to(kcode.astype(jnp.int32), Np, 1)[:, None]  # [B,1,Np]
-    qrow_p = _pad_to(qrow.astype(jnp.int32), Np, 1)[:, None]     # [B,1,Np]
+    return (B, H, N, dh, bq, Np,
+            _pad_to(q, Np, 2), _pad_to(k, Np, 2), _pad_to(v, Np, 2),
+            _pad_to(kcode.astype(jnp.int32), Np, 1)[:, None],   # [B,1,Np]
+            _pad_to(qrow.astype(jnp.int32), Np, 1)[:, None])
+
+
+def _flash_fwd(q, k, v, kcode, qrow, interpret):
+    B, H, N, dh, bq, Np, q_p, k_p, v_p, kcode_p, qrow_p = _prep(
+        q, k, v, kcode, qrow)
     nq = Np // bq
     sm_scale = 1.0 / math.sqrt(dh)
-
-    grid = (B, H, nq)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
-        grid=grid,
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, H=H),
+        grid=(B, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, 0, i)),
+            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, bq, 1), lambda b, i: (b, 0, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, dh), q.dtype),
@@ -161,50 +167,38 @@ def _flash_call(q, k, v, kcode, qrow, interpret):
         ],
         interpret=interpret,
     )(q_p, k_p, v_p, kcode_p, qrow_p)
-    return o[:, :, :N], lse[:, :, :N, 0], (q_p, k_p, v_p, kcode_p, qrow_p,
-                                           o, lse, bq, Np)
-
-
-def _flash_fwd(q, k, v, kcode, qrow, interpret):
-    o, lse, padded = _flash_call(q, k, v, kcode, qrow, interpret)
+    o = o[:, :, :N]
+    lse = lse[:, :, :N, 0]
     return o, (q, k, v, kcode, qrow, o, lse)
 
 
 def _flash_bwd(interpret, res, g):
     q, k, v, kcode, qrow, o, lse = res
-    B, H, N, dh = q.shape
-    bq = _block_q(N)
-    Np = ((N + bq - 1) // bq) * bq
-    q_p = _pad_to(q, Np, 2)
-    k_p = _pad_to(k, Np, 2)
-    v_p = _pad_to(v, Np, 2)
+    B, H, N, dh, bq, Np, q_p, k_p, v_p, kcode_p, qrow_p = _prep(
+        q, k, v, kcode, qrow)
     o_p = _pad_to(o, Np, 2)
     do_p = _pad_to(g, Np, 2)
     # padded rows: lse=0 with all-masked scores gives p=exp(NEG)≈0 → no-op
     lse_p = _pad_to(lse, Np, 2)[..., None]                   # [B,H,Np,1]
-    kcode_p = _pad_to(kcode.astype(jnp.int32), Np, 1)[:, None]
-    qrow_p = _pad_to(qrow.astype(jnp.int32), Np, 1)[:, None]
     nq = Np // bq
     sm_scale = 1.0 / math.sqrt(dh)
-
-    grid = (B, H, nq)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale),
-        grid=grid,
+        functools.partial(_bwd_kernel, sm_scale=sm_scale, H=H),
+        grid=(B, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, bq, 1), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, dh), q.dtype),
