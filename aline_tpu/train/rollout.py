@@ -49,14 +49,18 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
     target_vals = batch.target_all[..., 0]                   # [B, n_target]
 
     def step(carry, t):
-        ctx_mask, k = carry
+        # the carry holds ALL per-step batch state: the context flags AND
+        # the incremental context index buffer of the compact-attention
+        # path (leaving ctx_idx out of the carry silently freezes the
+        # attended key set at its initial value)
+        ctx_mask, ctx_idx, k = carry
         k, k_design = jax.random.split(k)
         if time_token:
             tt = ((t / T) if time_forward else ((T - t) / T)).astype(
                 jnp.float32)
         else:
             tt = jnp.zeros((), jnp.float32)
-        b = batch.replace(ctx_mask=ctx_mask, t=tt)
+        b = batch.replace(ctx_mask=ctx_mask, ctx_idx=ctx_idx, t=tt)
         out = model.apply(params, b, training=training, rng=k_design)
         b2, x_sel, y_sel = select_design(b, out.design_out.idx)
         ll = gmm_log_prob(target_vals,
@@ -67,11 +71,12 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
         nll_p = -jnp.sum(ll * w_pred, axis=-1)
         ys = (out.design_out.log_prob, nll_q, nll_p, out.design_out.idx,
               x_sel, y_sel)
-        return (b2.ctx_mask, k), ys
+        return (b2.ctx_mask, b2.ctx_idx, k), ys
 
     if use_remat:
         step = jax.checkpoint(step)
 
-    (final_ctx, _), (log_probs, nll_q, nll_p, idx, xs, ys) = jax.lax.scan(
-        step, (batch.ctx_mask, key), jnp.arange(T, dtype=jnp.float32))
+    (final_ctx, _, _), (log_probs, nll_q, nll_p, idx, xs, ys) = jax.lax.scan(
+        step, (batch.ctx_mask, batch.ctx_idx, key),
+        jnp.arange(T, dtype=jnp.float32))
     return RolloutOutputs(log_probs, nll_q, nll_p, idx, xs, ys, final_ctx)

@@ -224,3 +224,79 @@ class TestTrainer:
         trainer.train_epoch(3)  # main
         assert (cfg.batch_size, cfg.task.n_query_init) in \
             trainer._sample_cache.keys()
+
+
+class TestCtxIdxCarryRegression:
+    """Regression for the stale-ctx_idx bug: a rollout with the
+    incremental index buffer (init_ctx_idx, the Trainer path) must produce
+    EXACTLY the same trajectory as the argsort-based compact path and the
+    dense path."""
+
+    def test_incremental_buffer_matches_argsort_and_dense(self, rng_key):
+        import jax.numpy as jnp
+        from aline_tpu.config import parse_overrides
+        from aline_tpu.models import build_model
+        from aline_tpu.ops.target_mask import target_weight_vectors
+        from aline_tpu.tasks import build_task
+        from aline_tpu.tasks.base import init_ctx_idx
+
+        cfg = parse_overrides(["task=al_mix", "task.dim_x=1",
+                               "task.n_target_theta=2",
+                               "task.n_context_init=1",
+                               "task.n_query_init=10",
+                               "task.n_target_data=4"])
+        task = build_task(cfg.task)
+        model = build_model(cfg)
+        batch = task.sample_batch(rng_key, 5)
+        params = model.init(rng_key, batch, training=False)
+        w_q, w_p = target_weight_vectors(np.ones(6, bool), "mix", "all",
+                                         4, 2)
+        w_q, w_p = jnp.asarray(w_q), jnp.asarray(w_p)
+        T = 5
+
+        ro_dense = rollout(model, params, batch, T, w_q, w_p, rng_key,
+                           training=False)
+        ro_argsort = rollout(model, params,
+                             batch.replace(ctx_capacity=6), T, w_q, w_p,
+                             rng_key, training=False)
+        ro_incr = rollout(model, params, init_ctx_idx(batch, 6), T, w_q,
+                          w_p, rng_key, training=False)
+
+        np.testing.assert_array_equal(np.asarray(ro_dense.idx),
+                                      np.asarray(ro_argsort.idx))
+        np.testing.assert_array_equal(np.asarray(ro_dense.idx),
+                                      np.asarray(ro_incr.idx))
+        np.testing.assert_allclose(np.asarray(ro_argsort.nll_pred),
+                                   np.asarray(ro_incr.nll_pred),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ro_dense.nll_pred),
+                                   np.asarray(ro_incr.nll_pred),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_trainer_epoch_matches_argsort_path(self, tmp_path):
+        """One Trainer epoch's loss must be identical whether the batch
+        carries the incremental buffer or only the capacity."""
+        import jax.numpy as jnp
+        from aline_tpu.ops.target_mask import (create_target_mask,
+                                               target_weight_vectors)
+        from aline_tpu.tasks.base import init_ctx_idx
+        from aline_tpu.train.loss import total_loss
+
+        cfg = tiny_cfg(tmp_path)
+        trainer = Trainer(cfg)
+        key = jax.random.key(5)
+        batch = trainer._sample_batch(key, 6, 8)
+        mask = create_target_mask("split", "mix", 4, 2, attend_to="data")
+        w_q, w_p = target_weight_vectors(mask, "mix", "split", 4, 2)
+        batch = batch.replace(target_mask=jnp.asarray(mask))
+
+        def loss_for(b):
+            ro = rollout(trainer.model, trainer.params, b, 4,
+                         jnp.asarray(w_q), jnp.asarray(w_p), key,
+                         training=True)
+            loss, _ = total_loss(ro, 1.0, jnp.asarray(1.0))
+            return float(loss)
+
+        l_arg = loss_for(batch.replace(ctx_capacity=5))
+        l_incr = loss_for(init_ctx_idx(batch, 5))
+        np.testing.assert_allclose(l_arg, l_incr, rtol=1e-5)
