@@ -57,6 +57,8 @@ class HeadConfig:
     # Continuous (DAD-style) Gaussian design policy instead of discrete
     # candidate selection (reference: model/head.py:396-495).
     continuous: bool = False
+    # Fused Pallas GMM-head kernel: "auto" (TPU only) | "on" | "off".
+    fused_gmm: str = "auto"
 
 
 @dataclass

@@ -78,6 +78,8 @@ def build_model(cfg: Config) -> Aline:
     )
     encoder = Encoder(cfg.encoder)
     head_cls = ContinuousOutputHead if cfg.head.continuous else OutputHead
+    fused_gmm = {"auto": None, "on": True, "off": False}[
+        cfg.head.fused_gmm]
     kwargs = dict(
         dim_x=cfg.task.dim_x,
         dim_y=cfg.task.dim_y,
@@ -88,6 +90,7 @@ def build_model(cfg: Config) -> Aline:
         std_min=cfg.head.std_min,
         time_token=cfg.time_token,
         dtype=dtype,
+        fused_gmm=fused_gmm,
     )
     if not cfg.head.continuous:
         kwargs["value_head"] = cfg.head.value_head

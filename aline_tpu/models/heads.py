@@ -200,6 +200,7 @@ class OutputHead(nn.Module):
     value_head: bool = False
     time_token: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_gmm: Optional[bool] = None
 
     def setup(self):
         self.acquisition_head = AcquisitionHead(
@@ -208,7 +209,7 @@ class OutputHead(nn.Module):
         self.target_head = GMMTargetHead(
             self.dim_y, self.dim_embedding, self.dim_feedforward,
             self.num_components, self.single_head, self.std_min,
-            self.dtype, name="target_head")
+            self.dtype, self.fused_gmm, name="target_head")
         if self.value_head:
             self.value_module = ValueHead(self.dim_feedforward, self.dtype,
                                           name="value_head")
@@ -266,6 +267,7 @@ class ContinuousOutputHead(nn.Module):
     std_min: float = 1e-4
     time_token: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_gmm: Optional[bool] = None
 
     def setup(self):
         self.acquisition_head = ContinuousAcquisitionHead(
@@ -274,7 +276,7 @@ class ContinuousOutputHead(nn.Module):
         self.target_head = GMMTargetHead(
             self.dim_y, self.dim_embedding, self.dim_feedforward,
             self.num_components, self.single_head, self.std_min,
-            self.dtype, name="target_head")
+            self.dtype, self.fused_gmm, name="target_head")
 
     def __call__(self, batch: Batch, z: jnp.ndarray, *, training: bool,
                  rng: Optional[jax.Array] = None,
