@@ -168,8 +168,12 @@ class GMMTargetHead(nn.Module):
                             (C, F, 3))
             b2 = self.param("heads_b2", nn.initializers.zeros, (C, 3))
             backend = jax.default_backend()
+            # auto: the Pallas kernel wins at long token counts (it keeps
+            # the [tile, C, F] hidden block in VMEM); XLA's fused einsum
+            # wins inside the short-T rollout steps (measured on v5e —
+            # docs/PERFORMANCE.md)
             use_fused = (self.fused if self.fused is not None
-                         else backend == "tpu")
+                         else backend == "tpu" and z.shape[1] >= 1024)
             if use_fused:
                 from aline_tpu.ops.gmm_head_kernel import fused_gmm_head
                 out = fused_gmm_head(z.astype(jnp.float32), w1, b1, w2, b2,
