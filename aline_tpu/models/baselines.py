@@ -5,7 +5,7 @@ Capability parity with the reference baselines
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -30,7 +30,7 @@ from aline_tpu.ops.attention import (
     compact_attention,
     dense_bias_attention,
 )
-from aline_tpu.ops.roles import Roles, attention_bias, build_roles
+from aline_tpu.ops.roles import Roles, attention_bias
 
 
 class MultiHeadSelfAttention(nn.Module):

@@ -21,7 +21,7 @@ which reproduces the reference mask exactly:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -18,7 +18,7 @@ so the jitted training step is branch-free:
 from __future__ import annotations
 
 import random as pyrandom
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

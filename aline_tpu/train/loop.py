@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 import random as pyrandom
 import time
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -7,7 +7,7 @@ degrade to no-ops when matplotlib is unavailable.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

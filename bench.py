@@ -24,7 +24,6 @@ def log(*a):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from aline_tpu.config import parse_overrides
     from aline_tpu.train.loop import Trainer
