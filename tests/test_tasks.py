@@ -406,3 +406,35 @@ class TestHPOBHandler:
         from aline_tpu.tasks import HPOBHandler
         with pytest.raises(ValueError):
             HPOBHandler(root_dir=hpob_bench_dir, mode="bogus")
+
+
+class TestHPOBTestSetProtocol:
+    def test_sample_test_set(self, tmp_path, np_rng):
+        from aline_tpu.tasks import HPOB
+        d = tmp_path / "HPOB"
+        d.mkdir()
+        # meta-dataset for the loader ctor
+        data = {"9": {"X": np_rng.uniform(size=(30, 2)).tolist(),
+                      "y": np_rng.uniform(size=(30, 1)).tolist()}}
+        (d / "ranger.json").write_text(json.dumps(data))
+        # test split + fixed BO initializations (reference :187-243)
+        test_data = {"d7": {"X": np_rng.uniform(size=(25, 2)).tolist(),
+                            "y": np_rng.uniform(size=(25, 1)).tolist()}}
+        (d / "ranger_test.json").write_text(json.dumps(test_data))
+        bo = {"7609": {"d7": {f"test{i}": [0, 3, 5] for i in range(5)}}}
+        (d / "bo-initializations.json").write_text(json.dumps(bo))
+
+        hpob = HPOB(meta_dataset="ranger", data_path=str(tmp_path))
+        cx, cy, qx, qy, tx, ty = hpob.sample_test_set(
+            n_context=3, n_query=10, n_target=5)
+        # 1 dataset x 5 seeds
+        assert cx.shape == (5, 3, 2)
+        assert qx.shape == (5, 10, 2)
+        assert tx.shape == (5, 5, 2)
+        # context rows are exactly the BO initialization rows
+        X = np.asarray(test_data["d7"]["X"], np.float32)
+        np.testing.assert_allclose(cx[0], X[[0, 3, 5]], rtol=1e-6)
+        # query/target rows exclude the initialization rows
+        init_rows = {tuple(r) for r in X[[0, 3, 5]].round(5).tolist()}
+        for row in qx[0].round(5).tolist():
+            assert tuple(row) not in init_rows
