@@ -159,6 +159,10 @@ class CESTaskConfig(TaskConfig):
     tasks/ces.py:12-49)."""
     target: str = "ces"
     epsilon: float = 2.0 ** (-22)
+    # Censored-tail asymptote: "log_ndtr" (exact, default) or "reference"
+    # (bit-compatible with the reference's hand-rolled branch, for
+    # cross-framework parity runs).
+    tail_mode: str = "log_ndtr"
 
 
 @dataclass

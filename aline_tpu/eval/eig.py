@@ -84,10 +84,32 @@ def _accumulate_chunks(task, x, y, key, L: int, Lc: int, n_chunks: int
     return state
 
 
+@partial(jax.jit, static_argnames=("task", "L", "Lc"))
+def _accumulate_given_thetas(task, x, y, thetas, L: int, Lc: int
+                             ) -> LogSumExpState:
+    """Fold PRE-DRAWN contrastive thetas (padded to [n_chunks, Lc, B, ...])
+    into an LSE state.  Used for deterministic-theta evaluation, e.g.
+    cross-framework parity against the reference estimator."""
+    B, Th = x.shape[0], x.shape[1]
+
+    def body(state, args):
+        i, th = args
+        S = _seq_cum_loglik(task, x, y, th)                  # [Lc, B, Th]
+        valid = (i * Lc + jnp.arange(Lc)) < L
+        S = jnp.where(valid[:, None, None], S, -jnp.inf)
+        return lse_update(state, S, axis=0), None
+
+    n_chunks = thetas.shape[0]
+    state, _ = jax.lax.scan(body, lse_init((B, Th)),
+                            (jnp.arange(n_chunks), thetas))
+    return state
+
+
 def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
                              L_chunk: int = 32_768, stepwise: bool = False,
                              mesh: Optional[Mesh] = None,
-                             axis_name: str = "contrastive"):
+                             axis_name: str = "contrastive",
+                             thetas: Optional[jnp.ndarray] = None):
     """sPCE/sNMC bounds for a batch of histories.
 
     Args:
@@ -98,6 +120,10 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
         L: number of contrastive samples.
         mesh: optional mesh whose ``axis_name`` axis shards the chunks.
         stepwise: return [B, Th] per-step bounds instead of final-step [B].
+        thetas: optional pre-drawn contrastive latents [L, B, ...] — when
+                given, ``L``/``key`` are ignored for sampling and the bound
+                is computed on exactly these draws (deterministic-theta
+                mode, used for cross-framework parity tests).
 
     Returns:
         (pce, nmc): EIG bounds, [B, Th] if stepwise else [B].
@@ -109,6 +135,20 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
     # exact theta_0 trajectory log-lik (the l=0 term)
     ll0 = task.log_likelihood(y, x, jnp.expand_dims(theta_0, 1))
     S0 = jnp.cumsum(ll0[..., 0], axis=-1)                    # [B, Th]
+
+    if thetas is not None:
+        thetas = jnp.asarray(thetas)
+        L = int(thetas.shape[0])
+        Lc = _auto_chunk(L, B, Th, L_chunk)
+        n_chunks = math.ceil(L / Lc)
+        pad = n_chunks * Lc - L
+        if pad:
+            filler = jnp.broadcast_to(thetas[:1],
+                                      (pad,) + thetas.shape[1:])
+            thetas = jnp.concatenate([thetas, filler], axis=0)
+        thetas = thetas.reshape((n_chunks, Lc) + thetas.shape[1:])
+        state = _accumulate_given_thetas(task, x, y, thetas, L, Lc)
+        return _finalize_bounds(state, S0, L, stepwise)
 
     Lc = _auto_chunk(L, B, Th, L_chunk)
     n_chunks = math.ceil(L / Lc)
@@ -145,6 +185,10 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
     else:
         state = _accumulate_chunks(task, x, y, key, L, Lc, n_chunks)
 
+    return _finalize_bounds(state, S0, L, stepwise)
+
+
+def _finalize_bounds(state: LogSumExpState, S0, L: int, stepwise: bool):
     lse_contrastive = lse_value(state)                       # [B, Th] l=1..L
     # fold in the l=0 term exactly
     lse_all = jnp.logaddexp(lse_contrastive, S0)

@@ -24,6 +24,10 @@ class CESTask(Task):
         self.n_theta = cfg.n_target_theta  # 5: [rho, alpha1..3, log u]
         self.noise_scale = cfg.noise_scale
         self.epsilon = cfg.epsilon
+        # "log_ndtr" (exact tail asymptote, default) or "reference"
+        # (bit-compatible with the reference's hand-rolled tail branch,
+        # for cross-framework parity runs).
+        self.tail_mode = getattr(cfg, "tail_mode", "log_ndtr")
 
     # -- priors ------------------------------------------------------------
     def sample_theta(self, key: jax.Array,
@@ -85,13 +89,15 @@ class CESTask(Task):
         """Preference rating in (0,1), censored at [eps, 1-eps]
         (reference ``forward`` :129-167)."""
         mu, sigma = self._response_params(xi, theta)
-        d = CensoredSigmoidNormal(mu, sigma, self.epsilon, 1.0 - self.epsilon)
+        d = CensoredSigmoidNormal(mu, sigma, self.epsilon, 1.0 - self.epsilon,
+                                  tail_mode=self.tail_mode)
         return d.rsample(key)
 
     def log_likelihood(self, y, xi, theta):
         """(reference :169-210).  y [..., 1]; xi [..., 6]; theta [..., 5]."""
         mu, sigma = self._response_params(xi, theta)
-        d = CensoredSigmoidNormal(mu, sigma, self.epsilon, 1.0 - self.epsilon)
+        d = CensoredSigmoidNormal(mu, sigma, self.epsilon, 1.0 - self.epsilon,
+                                  tail_mode=self.tail_mode)
         return d.log_prob(y)
 
     # -- batch -------------------------------------------------------------
