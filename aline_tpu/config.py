@@ -139,6 +139,10 @@ class GPTaskConfig(TaskConfig):
     kernel_weights: Optional[List[float]] = None   # defaults to [1/3,0,1/3,1/3]
     lengthscale_lower: float = 0.1
     lengthscale_upper: float = 2.0
+    # Design-point generator: "uniform" (reference default, :108-120),
+    # "sobol" (scrambled Sobol, reference :123-165, pure-JAX), or
+    # "lattice" (randomized rank-1 Kronecker lattice).
+    data_gen: str = "uniform"
 
 
 @dataclass

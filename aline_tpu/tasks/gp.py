@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from aline_tpu.ops.sobol import sample_sobol
 from aline_tpu.tasks.base import Batch, Task
 
 _SQRT3 = math.sqrt(3.0)
@@ -75,6 +76,9 @@ class GPTask(Task):
             cfg.kernel_weights if cfg.kernel_weights is not None
             else [1.0 / 3.0, 0.0, 1.0 / 3.0, 1.0 / 3.0], jnp.float32)
         self.noise_scale = cfg.noise_scale
+        self.data_gen = getattr(cfg, "data_gen", "uniform")
+        if self.data_gen not in ("uniform", "sobol", "lattice"):
+            raise ValueError(f"unknown data_gen {self.data_gen!r}")
 
         if self.embedding_type in ("mix", "theta"):
             if cfg.n_target_theta != self.dim_x + 1:
@@ -115,11 +119,19 @@ class GPTask(Task):
 
     def sample_data_sobol(self, key: jax.Array, batch_size: int,
                           n_data: int) -> jnp.ndarray:
-        """Scrambled-Sobol-style low-discrepancy designs
-        (reference :123-165).  Implemented as a randomized (0,1)-lattice:
-        per-batch random-shift rank-1 lattice points with per-dimension
-        random permutations, which preserves the uniformity property the
-        reference relies on without a host-side Sobol engine loop."""
+        """Scrambled Sobol designs (reference :123-165), pure-JAX
+        (jit/vmap-safe): digitally-shifted Joe-Kuo Sobol points with the
+        reference's per-dimension random permutations, mapped to
+        [-design_scale, design_scale]^D."""
+        pts = sample_sobol(key, batch_size, n_data, self.dim_x)
+        return pts * 2.0 * self.design_scale - self.design_scale
+
+    def sample_data_lattice(self, key: jax.Array, batch_size: int,
+                            n_data: int) -> jnp.ndarray:
+        """Randomized rank-1 Kronecker (R_d) lattice designs: per-batch
+        random-shift lattice points with per-dimension random
+        permutations — a cheaper low-discrepancy alternative to Sobol
+        with the same uniformity property."""
         k_shift, k_perm = jax.random.split(key)
         # R_d Kronecker sequence generator vector (generalized golden
         # ratio g: g^(d+1) = g + 1), the standard low-discrepancy choice
@@ -213,7 +225,12 @@ class GPTask(Task):
 
         n_points = self.n_context_init + n_query
         n_total = n_points + self.n_target_data
-        x_all = self.sample_data(k_x, batch_size, n_total)
+        if self.data_gen == "sobol":
+            x_all = self.sample_data_sobol(k_x, batch_size, n_total)
+        elif self.data_gen == "lattice":
+            x_all = self.sample_data_lattice(k_x, batch_size, n_total)
+        else:
+            x_all = self.sample_data(k_x, batch_size, n_total)
         y_all = self.generate_gp_data(k_y, x_all, theta)
 
         x, y = x_all[:, :n_points], y_all[:, :n_points]

@@ -438,3 +438,49 @@ class TestHPOBTestSetProtocol:
         init_rows = {tuple(r) for r in X[[0, 3, 5]].round(5).tolist()}
         for row in qx[0].round(5).tolist():
             assert tuple(row) not in init_rows
+
+
+class TestSobol:
+    def test_base_sequence_matches_scipy(self):
+        """Pure-JAX Sobol base sequence is bit-exact vs scipy's Joe-Kuo
+        table (reference uses torch SobolEngine, same construction;
+        reference: tasks/gaussian_process.py:123-165)."""
+        import scipy.stats.qmc as qmc
+        from aline_tpu.ops.sobol import sobol_base
+        for d in (1, 2, 3, 6, 16):
+            ours = np.asarray(sobol_base(128, d))
+            ref = qmc.Sobol(d=d, scramble=False).random(128)
+            np.testing.assert_array_equal(ours, ref.astype(np.float32))
+
+    def test_scrambled_uniformity_and_determinism(self, rng_key):
+        from aline_tpu.ops.sobol import sample_sobol
+        pts = sample_sobol(rng_key, 8, 512, 2)
+        assert pts.shape == (8, 512, 2)
+        p = np.asarray(pts)
+        assert (p >= 0).all() and (p < 1).all()
+        # digital-shift scrambling preserves stratification: each of the
+        # 16 half-open 1/16 bins per dim gets exactly 512/16 points
+        for b in range(8):
+            for d in range(2):
+                counts = np.histogram(p[b, :, d], bins=16,
+                                      range=(0, 1))[0]
+                assert (counts == 32).all(), counts
+        # distinct batch elements get distinct scrambles
+        assert not np.allclose(p[0], p[1])
+        # same key -> same points
+        p2 = np.asarray(sample_sobol(rng_key, 8, 512, 2))
+        np.testing.assert_array_equal(p, p2)
+
+    def test_gp_data_gen_config_dispatch(self, rng_key):
+        from aline_tpu.config import parse_overrides
+        from aline_tpu.tasks import build_task
+        for gen in ("uniform", "sobol", "lattice"):
+            cfg = parse_overrides([
+                "task=al_mix", "task.dim_x=1", "task.n_target_theta=2",
+                f"task.data_gen={gen}"])
+            task = build_task(cfg.task)
+            batch = jax.jit(
+                lambda k, t=task: t.sample_batch(k, 4, n_query=8))(rng_key)
+            x = np.asarray(batch.x)
+            assert np.isfinite(x).all()
+            assert (np.abs(x) <= task.design_scale + 1e-5).all()
