@@ -153,6 +153,52 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
     Lc = _auto_chunk(L, B, Th, L_chunk)
     n_chunks = math.ceil(L / Lc)
 
+    if mesh is not None and "data" in mesh.shape and axis_name in mesh.shape:
+        # 2-D evaluation mesh: B shards over 'data' while chunks shard
+        # over the contrastive axis (SURVEY.md §5.8).  Contrastive draws
+        # are keyed per (global chunk id, GLOBAL batch index), so results
+        # are invariant to the mesh factorization (tested (1,8)/(2,4)/
+        # (4,2)/(8,1) in tests/test_eig.py).
+        n_data = mesh.shape["data"]
+        n_con = mesh.shape[axis_name]
+        if B % n_data:
+            raise ValueError(f"batch {B} must divide mesh data axis "
+                             f"{n_data}")
+        n_chunks = math.ceil(n_chunks / n_con) * n_con
+        chunk_ids = jnp.arange(n_chunks)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(axis_name), P("data"), P("data"), P()),
+                 out_specs=P("data"), check_vma=False)
+        def sharded2(chunk_ids_local, x_in, y_in, key_in):
+            B_loc = x_in.shape[0]
+            b0 = jax.lax.axis_index("data") * B_loc
+
+            def body(state, i):
+                k = jax.random.fold_in(key_in, i)
+                bkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    k, b0 + jnp.arange(B_loc))
+                thetas = jax.vmap(
+                    lambda kk: task.sample_theta(kk, (Lc,)),
+                    out_axes=1)(bkeys)                    # [Lc, B_loc, ...]
+                S = _seq_cum_loglik(task, x_in, y_in, thetas)
+                valid = (i * Lc + jnp.arange(Lc)) < L
+                S = jnp.where(valid[:, None, None], S, -jnp.inf)
+                return lse_update(state, S, axis=0), None
+
+            local, _ = jax.lax.scan(body, lse_init((B_loc, Th)),
+                                    chunk_ids_local)
+            gmax = jax.lax.pmax(local.max, axis_name)
+            safe = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+            scaled = local.sumexp * jnp.exp(
+                jnp.where(jnp.isfinite(local.max), local.max - safe,
+                          -jnp.inf))
+            total = jax.lax.psum(scaled, axis_name)
+            return LogSumExpState(gmax, total)
+
+        state = sharded2(chunk_ids, x, y, key)
+        return _finalize_bounds(state, S0, L, stepwise)
+
     if mesh is not None and mesh.shape[axis_name] > 1:
         n_dev = mesh.shape[axis_name]
         n_chunks = math.ceil(n_chunks / n_dev) * n_dev

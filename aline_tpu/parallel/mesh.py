@@ -41,6 +41,21 @@ def get_mesh(n_data: int = 0, axis_name: str = "data",
     return Mesh(np.asarray(devices[:n_data]), (axis_name,))
 
 
+def get_eval_mesh(n_data: int, n_contrastive: int,
+                  devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D mesh for the final sPCE/sNMC evaluation: the outer-rollout
+    batch shards over axis ``data`` while the L contrastive chunks shard
+    over axis ``contrastive`` (SURVEY.md §5.8).  ``n_data * n_contrastive``
+    devices are used."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_contrastive
+    if need > len(devices):
+        raise ValueError(f"requested {n_data}x{n_contrastive} mesh but only "
+                         f"{len(devices)} devices are available")
+    return Mesh(np.asarray(devices[:need]).reshape(n_data, n_contrastive),
+                ("data", "contrastive"))
+
+
 def shard_batch_spec(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Sharding that splits the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -247,3 +247,60 @@ class TestEvalEIGFromHistory:
         out = eval_eig_from_history(task, theta, xs, ys, 64, rng_key,
                                     batch_size=2)
         assert np.isfinite(out["pce_mean"]).all()
+
+
+class TestEvalMesh2D:
+    """2-D (data x contrastive) final-eval mesh (SURVEY.md §5.8)."""
+
+    def _setup(self):
+        from aline_tpu.config import parse_overrides
+        from aline_tpu.tasks import build_task
+        cfg = parse_overrides(["task=location_finding",
+                               "task.theta_dist=uniform",
+                               "task.K=1", "task.n_target_theta=2"])
+        task = build_task(cfg.task)
+        B, T = 8, 4
+        k = jax.random.key(5)
+        k_t, k_x, k_y = jax.random.split(k, 3)
+        theta_0 = task.sample_theta(k_t, (B,))
+        x = jax.random.uniform(k_x, (B, T, 2))
+        sig = task.total_density(x, theta_0[:, None])
+        y = sig + task.noise_scale * jax.random.normal(k_y, sig.shape)
+        return task, theta_0, x, y
+
+    def test_mesh_factorization_invariance(self):
+        from aline_tpu.eval.eig import compute_eig_from_history
+        from aline_tpu.parallel.mesh import get_eval_mesh
+        task, theta_0, x, y = self._setup()
+        L, key = 4096, jax.random.key(9)
+        results = []
+        for n_data, n_con in ((1, 8), (2, 4), (4, 2), (8, 1)):
+            mesh = get_eval_mesh(n_data, n_con)
+            pce, nmc = compute_eig_from_history(
+                task, theta_0, x, y, L, key, L_chunk=256, stepwise=True,
+                mesh=mesh)
+            results.append((np.asarray(pce), np.asarray(nmc)))
+        for pce, nmc in results[1:]:
+            np.testing.assert_allclose(pce, results[0][0], rtol=1e-5, atol=2e-6)
+            np.testing.assert_allclose(nmc, results[0][1], rtol=1e-5, atol=2e-6)
+        assert np.isfinite(results[0][0]).all()
+        # per-realization, pce can exceed nmc by at most log(1 + 1/L)
+        assert (results[0][0] <= results[0][1]
+                + np.log1p(1.0 / L) + 1e-5).all()
+
+    def test_matches_1d_contrastive_within_mc_error(self):
+        """Same estimator, different (but equally valid) contrastive
+        draws: 2-D mesh result must agree with the 1-D path within
+        Monte-Carlo error at moderate L."""
+        from aline_tpu.eval.eig import compute_eig_from_history
+        from aline_tpu.parallel.mesh import get_eval_mesh, get_mesh
+        task, theta_0, x, y = self._setup()
+        L, key = 16384, jax.random.key(11)
+        mesh2 = get_eval_mesh(2, 4)
+        pce2, _ = compute_eig_from_history(task, theta_0, x, y, L, key,
+                                           L_chunk=1024, mesh=mesh2)
+        mesh1 = get_mesh(8, axis_name="contrastive")
+        pce1, _ = compute_eig_from_history(task, theta_0, x, y, L, key,
+                                           L_chunk=1024, mesh=mesh1)
+        np.testing.assert_allclose(np.asarray(pce2), np.asarray(pce1),
+                                   atol=0.35)
