@@ -43,21 +43,31 @@ def main():
     trainer = Trainer(cfg)
 
     # warmup: trigger compilation of sample + step
-    n_warm, n_meas = 3, 10
+    n_warm, n_meas, n_windows = 3, 10, 3
     for e in range(n_warm):
         m = trainer.train_epoch(e)
     _ = float(m["loss"])  # hard sync (block_until_ready can be unreliable
     #                       over remote-device transports)
 
-    t0 = time.perf_counter()
-    for e in range(n_warm, n_warm + n_meas):
-        m = trainer.train_epoch(e)
-    _ = float(m["loss"])
-    dt = time.perf_counter() - t0
+    # several independent windows -> median throughput + spread
+    rates = []
+    epoch = n_warm
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_meas):
+            m = trainer.train_epoch(epoch)
+            epoch += 1
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+        rates.append(B * n_meas / dt)
+        log(f"window {w}: {dt / n_meas * 1e3:.1f} ms/epoch → "
+            f"{rates[-1]:.1f} rollouts/s")
 
-    per_epoch = dt / n_meas
-    rollouts_per_sec = B / per_epoch
-    log(f"{per_epoch*1e3:.1f} ms/epoch → {rollouts_per_sec:.1f} rollouts/s")
+    rates.sort()
+    rollouts_per_sec = rates[len(rates) // 2]
+    spread = (rates[-1] - rates[0]) / rollouts_per_sec
+    log(f"median {rollouts_per_sec:.1f} rollouts/s "
+        f"(min {rates[0]:.1f}, max {rates[-1]:.1f}, spread {spread:.1%})")
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -47,9 +47,14 @@ def main(argv=None):
 
         def eval_hook(tr, epoch):
             T_eval = cfg.T - cfg.task.n_context_init
+            # key derives from the run seed so different runs evaluate
+            # on independent batches (same-epoch comparability within a
+            # run is preserved via fold_in by epoch)
+            k_eval = jax.random.fold_in(jax.random.key(cfg.seed ^ 0xE7A1),
+                                        epoch)
             b = eval_boed(tr.model, tr.params, tr.task, T_eval,
                           cfg.eval.L, cfg.eval.M, cfg.eval.batch_size,
-                          jax.random.key(epoch), cfg.time_token,
+                          k_eval, cfg.time_token,
                           stepwise=False, L_chunk=cfg.eval.L_chunk)
             return {"pce_mean": float(b["pce_mean"]),
                     "nmc_mean": float(b["nmc_mean"])}
