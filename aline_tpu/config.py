@@ -34,9 +34,17 @@ class EncoderConfig:
     dropout: float = 0.0
     num_layers: int = 3
     # TPU-specific: which attention implementation to use.
-    #   "naive"  – jnp dot-product attention with an explicit [B,N,N] bias
-    #   "flash"  – Pallas block-masked flash-attention kernel
-    #   "auto"   – flash on TPU when the sequence is long enough, else naive
+    #   "naive"   – jnp dot-product attention with an explicit [B,N,N] bias
+    #   "compact" – gather keys into the ~(n_ctx+T+targets)-column compact
+    #               set implied by the ALINE mask (exact; the production
+    #               path — wins 2-6x over flash/dense at BOTH the train
+    #               B=200/N=403 and eval B=100/N=2003 operating points,
+    #               f32 and bf16; see docs/PERFORMANCE.md round-2 table)
+    #   "flash"   – Pallas role-masked flash-attention kernel (no [B,N,N]
+    #               HBM tensor; the general-mask fallback for geometries
+    #               where no compact key structure exists)
+    #   "auto"    – compact whenever the batch carries a context plan
+    #               (all ALINE configs), else naive
     attention_impl: str = "auto"
     # Optional global time token prepended to the sequence
     # (reference: model/encoder.py:144-223 EncoderWithTime; not wired into

@@ -12,11 +12,12 @@ integer vectors instead of reading an [N, N] bias from HBM:
 
 Compared to the XLA dense path this kernel never materializes the
 [B, H, N, N] score tensor in HBM — scores live in VMEM per (batch,
-q-block) tile with the full K/V resident in VMEM, and ALL heads are
-processed inside one grid cell (head fusion amortizes the mask-code loads
-and grid overhead; d_head is small for this model).  The backward pass is
-a second kernel using the saved row logsumexp, with dK/dV accumulated in
-VMEM across q-blocks (grid-revisited output blocks).
+q-block) tile with the full K/V resident in VMEM, Heads occupy their own
+grid dimension so each cell holds one [bq, N] score tile in VMEM (an
+unrolled head loop quadruples live VMEM and fails to compile at the
+model's eval scale N≈2048).  The backward pass is a second kernel using
+the saved row logsumexp, with dK/dV accumulated in VMEM across q-blocks
+(grid-revisited output blocks).
 
 Equivalence to the naive path is tested in interpret mode on CPU and
 compiled on TPU (mirrors the reference's own encoder-equivalence test
@@ -40,31 +41,30 @@ def _allowed(kcode, qrow):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, kcode_ref, qrow_ref, o_ref, lse_ref,
-                *, sm_scale, H):
+                *, sm_scale):
     kcode = kcode_ref[0, 0]                                  # [N]
     qrow = qrow_ref[0, 0]                                    # [bq]
     allowed = _allowed(kcode, qrow)
-    for h in range(H):
-        q = q_ref[0, h]                                      # [bq, dh]
-        k = k_ref[0, h]                                      # [N, dh]
-        v = v_ref[0, h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale   # [bq, N]
-        s = jnp.where(allowed, s, NEG)
-        m = jnp.max(s, axis=-1, keepdims=True)               # [bq, 1]
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) / l
-        o_ref[0, h] = o.astype(o_ref.dtype)
-        lse_ref[0, h] = (m + jnp.log(l)).astype(lse_ref.dtype)  # [bq, 1]
+    q = q_ref[0, 0]                                          # [bq, dh]
+    k = k_ref[0, 0]                                          # [N, dh]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale       # [bq, N]
+    s = jnp.where(allowed, s, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)                   # [bq, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / l
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l)).astype(lse_ref.dtype)   # [bq, 1]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, kcode_ref, qrow_ref, o_ref, lse_ref,
-                do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, H):
-    i = pl.program_id(1)
+                do_ref, dq_ref, dk_ref, dv_ref, *, sm_scale):
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
@@ -74,34 +74,33 @@ def _bwd_kernel(q_ref, k_ref, v_ref, kcode_ref, qrow_ref, o_ref, lse_ref,
     kcode = kcode_ref[0, 0]
     qrow = qrow_ref[0, 0]
     allowed = _allowed(kcode, qrow)
-    for h in range(H):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        o = o_ref[0, h]
-        do = do_ref[0, h]
-        lse = lse_ref[0, h]                                  # [bq, 1]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
-        s = jnp.where(allowed, s, NEG)
-        p = jnp.exp(s - lse)                                 # [bq, N]
-        dv_ref[0, h] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [bq, N]
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)      # [bq, 1]
-        ds = p * (dp - delta)
-        dq_ref[0, h] = (jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            * sm_scale).astype(dq_ref.dtype)
-        dk_ref[0, h] += (jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            * sm_scale).astype(dk_ref.dtype)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    o = o_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]                                      # [bq, 1]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = jnp.where(allowed, s, NEG)
+    p = jnp.exp(s - lse)                                     # [bq, N]
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [bq, N]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)          # [bq, 1]
+    ds = p * (dp - delta)
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        * sm_scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] += (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        * sm_scale).astype(dk_ref.dtype)
 
 
 def _pad_to(x, size, axis, value=0):
@@ -114,7 +113,9 @@ def _pad_to(x, size, axis, value=0):
 
 
 def _block_q(N):
-    return min(256, max(8, 1 << (N - 1).bit_length()))
+    # cap blocks at 128 rows: one [128, N] f32 score tile stays well
+    # inside VMEM even at eval scale (N~2048)
+    return min(128, max(8, 1 << (N - 1).bit_length()))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -148,18 +149,18 @@ def _flash_fwd(q, k, v, kcode, qrow, interpret):
     nq = Np // bq
     sm_scale = 1.0 / math.sqrt(dh)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, H=H),
-        grid=(B, nq),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        grid=(B, H, nq),
         in_specs=[
-            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, bq, 1), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, dh), q.dtype),
@@ -183,22 +184,22 @@ def _flash_bwd(interpret, res, g):
     nq = Np // bq
     sm_scale = 1.0 / math.sqrt(dh)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale, H=H),
-        grid=(B, nq),
+        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        grid=(B, H, nq),
         in_specs=[
-            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, bq, 1), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Np), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, H, bq, dh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, Np, dh), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, bq, dh), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Np, dh), lambda b, h, i: (b, h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, dh), q.dtype),
