@@ -290,9 +290,15 @@ def eval_boed(model, params, task, T: int, L: int, M: int, batch_size: int,
               stepwise: bool = False, err_type: str = "se",
               L_chunk: int = 32_768, mesh: Optional[Mesh] = None,
               n_query: Optional[int] = None,
+              seq_mesh: Optional[Mesh] = None,
               logger=None) -> Dict[str, np.ndarray]:
     """Full EIG evaluation pipeline (reference: utils/eval.py:142-198):
-    chunked greedy rollouts + bound computation + mean/err aggregation."""
+    chunked greedy rollouts + bound computation + mean/err aggregation.
+
+    ``seq_mesh``: optional mesh with a ``seq`` axis — shards the rollout's
+    candidate-pool (token) axis across chips so huge final query pools
+    (n_query_final=2000, reference config/eval/bed.yaml:10) scale past
+    one chip's activation memory (SURVEY.md §5.7)."""
     from aline_tpu.eval.traces import get_traces  # local import (cycle)
 
     max_step = (M + batch_size - 1) // batch_size
@@ -300,6 +306,9 @@ def eval_boed(model, params, task, T: int, L: int, M: int, batch_size: int,
     for step in range(max_step):
         key, k_batch, k_roll, k_eig = jax.random.split(key, 4)
         batch = task.sample_batch(k_batch, batch_size, n_query=n_query)
+        if seq_mesh is not None:
+            from aline_tpu.parallel.mesh import shard_query_pool
+            batch = shard_query_pool(batch, seq_mesh)
         theta_0, x, y = get_traces(model, params, task, batch, T, k_roll,
                                    time_token)
         pce, nmc = compute_eig_from_history(

@@ -76,6 +76,39 @@ def shard_leading_axis(tree, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(_put, tree)
 
 
+def shard_query_pool(batch, mesh: Mesh, axis_name: str = "seq"):
+    """Shard the token (query-pool) axis of a Batch across the mesh
+    (SURVEY.md §5.7: sequence sharding for n_query up to 2000 at eval).
+
+    Every leaf whose second axis equals the candidate-pool length
+    (``x``/``y``/``ctx_mask``/``ctx_idx``) is placed with
+    ``P(None, axis_name)``; everything else is replicated.  The rollout
+    is row-parallel under the ALINE mask (each token attends only to the
+    compact context/target set), so XLA partitions the encoder along
+    tokens and inserts collectives only at the compact-key gather and
+    the acquisition argmax.
+    """
+    n_pool = batch.x.shape[1]
+    n = mesh.shape[axis_name]
+    if n_pool % n:
+        # padding the pool would add phantom selectable candidates (the
+        # acquisition softmax masks only context/consumed tokens), so the
+        # caller must size the pool to the mesh: e.g. n_query_final=2047
+        # with n_context_init=1 on 8 chips.
+        raise ValueError(
+            f"candidate pool of {n_pool} tokens is not divisible by the "
+            f"{n}-way '{axis_name}' mesh axis; choose n_query so that "
+            f"n_context_init + n_query is a multiple of {n}")
+
+    def _put(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 2 and x.shape[1] == n_pool:
+            return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh."""
     return jax.tree_util.tree_map(

@@ -17,6 +17,13 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent XLA compilation cache: the suite is dominated by CPU
+# compiles of near-identical tiny train steps; warm reruns cut wall time
+# several-fold.  Keyed by jaxlib version + flags, so it is safe across
+# upgrades; delete the directory to force cold compiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 import numpy as np  # noqa: E402

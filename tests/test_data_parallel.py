@@ -19,14 +19,6 @@ def dp_cfg(tmp, batch_size, mesh_data=0):
 
 
 class TestDataParallelTraining:
-    def test_eight_device_mesh_used(self, tmp_path):
-        cfg = dp_cfg(tmp_path / "dp8", batch_size=16)
-        trainer = Trainer(cfg)
-        assert trainer.mesh.devices.size == 8
-        for e in range(4):
-            m = trainer.train_epoch(e)
-        assert np.isfinite(float(m["loss"]))
-
     def test_dp_matches_single_device(self, tmp_path):
         """Same seed → DP-sharded losses match single-device over epochs,
         and the gradients of one identical step match across meshes (params
@@ -44,6 +36,7 @@ class TestDataParallelTraining:
         t1 = Trainer(cfg1)
         cfg8 = dp_cfg(tmp_path / "d8", batch_size=16, mesh_data=8)
         t8 = Trainer(cfg8)
+        assert t8.mesh.devices.size == 8
 
         # identical initialization
         for a, b in zip(jax.tree_util.tree_leaves(t1.params),

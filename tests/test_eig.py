@@ -304,3 +304,54 @@ class TestEvalMesh2D:
                                            L_chunk=1024, mesh=mesh1)
         np.testing.assert_allclose(np.asarray(pce2), np.asarray(pce1),
                                    atol=0.35)
+
+
+class TestQueryPoolSharding:
+    """SURVEY.md §5.7: shard the rollout's candidate-pool (token) axis."""
+
+    def test_sharded_traces_match_unsharded(self):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from aline_tpu.config import parse_overrides
+        from aline_tpu.eval.traces import get_traces
+        from aline_tpu.models.aline import build_model
+        from aline_tpu.parallel.mesh import shard_query_pool
+        from aline_tpu.tasks import build_task
+
+        cfg = parse_overrides(["task=location_finding",
+                               "task.n_query_init=15", "min_T=4", "T=4"])
+        task = build_task(cfg.task)
+        model = build_model(cfg)
+        batch = task.sample_batch(jax.random.key(0), 4)
+        params = model.init(jax.random.key(1), batch, training=False)
+
+        theta_a, x_a, y_a = get_traces(model, params, task, batch, 4,
+                                       jax.random.key(2))
+
+        mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+        sharded = shard_query_pool(batch, mesh)
+        assert "seq" in str(sharded.x.sharding)
+        theta_b, x_b, y_b = get_traces(model, params, task, sharded, 4,
+                                       jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_eval_boed_with_seq_mesh(self):
+        from jax.sharding import Mesh
+        from aline_tpu.config import parse_overrides
+        from aline_tpu.eval.eig import eval_boed
+        from aline_tpu.models.aline import build_model
+        from aline_tpu.tasks import build_task
+
+        cfg = parse_overrides(["task=location_finding",
+                               "task.n_query_init=15", "min_T=3", "T=3"])
+        task = build_task(cfg.task)
+        model = build_model(cfg)
+        batch = task.sample_batch(jax.random.key(0), 2)
+        params = model.init(jax.random.key(1), batch, training=False)
+        mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+        out = eval_boed(model, params, task, 3, 256, 4, 2,
+                        jax.random.key(3), seq_mesh=mesh)
+        assert np.isfinite(out["pce_mean"]).all()
