@@ -160,6 +160,7 @@ class TestALCurves:
         params = model.init(rng_key, batch, training=False)
         return model, params, batch
 
+    @pytest.mark.slow
     def test_curve_shapes(self, rng_key):
         model, params, batch = self._setup(rng_key)
         out = al_rollout_curves(model, params, batch, T=5, key=rng_key)

@@ -13,6 +13,7 @@ from aline_tpu.tasks import BenchmarkTask, GPTask, build_task
 from aline_tpu.train.loop import Trainer
 
 
+@pytest.mark.slow
 class TestEIGEvalHookDuringTraining:
     def test_location_finding_with_eig_hook(self, tmp_path):
         cfg = parse_overrides([
@@ -57,6 +58,7 @@ class TestSobolSampling:
             assert (hist > 0).all(), "empty cell in low-discrepancy design"
 
 
+@pytest.mark.slow
 class TestBenchmarkOODEval:
     def test_mix_mode_benchmark_curves(self, rng_key):
         from aline_tpu.config import BenchmarkTaskConfig

@@ -371,6 +371,7 @@ class TestBF16:
         for leaf in jax.tree_util.tree_leaves(params):
             assert leaf.dtype == jnp.float32
 
+    @pytest.mark.slow
     def test_bf16_training_step_finite(self, rng_key):
         from aline_tpu.ops.target_mask import target_weight_vectors
         from aline_tpu.tasks import GPTask

@@ -184,6 +184,7 @@ class TestTrainer:
         assert np.mean(losses[-5:]) < np.mean(losses[:5]), \
             f"prediction loss did not decrease: {losses[:3]} → {losses[-3:]}"
 
+    @pytest.mark.slow
     def test_phase_switch_and_full_run(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         trainer = Trainer(cfg)
