@@ -36,6 +36,10 @@ def main():
         f"min_T={T}", f"T={T}", f"batch_size={B}",
         "burning_epoch=0", "max_epoch=10", "checkpoint=0", "verbose=1000000",
         "mesh_data=1",  # single chip
+        # bf16 is the production configuration: a 60k-epoch bf16 flagship
+        # run tracks the f32 likelihood trajectory within noise
+        # (benchmarks/artifacts/bf16_convergence.npz, scripts/bf16_evidence.py)
+        "dtype=bfloat16",
     ])
     cfg.output_dir = "/tmp/aline_bench"
     log(f"bench devices: {jax.devices()}")
