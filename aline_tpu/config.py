@@ -289,6 +289,10 @@ class Config:
 
     # Mesh: number of data-parallel shards; 0 = use all local devices.
     mesh_data: int = 0
+    # Rematerialize each rollout step's activations in the backward pass.
+    # True bounds HBM to one step's activations (needed for big B*N*T);
+    # False trades memory for ~no recompute (faster when it fits).
+    rollout_remat: bool = True
     # Computation dtype for the model ("float32" | "bfloat16").
     dtype: str = "float32"
     # Numerics guard: enable jax_debug_nans (the TPU equivalent of the

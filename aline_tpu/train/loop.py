@@ -107,7 +107,8 @@ class Trainer:
             def loss_fn(p):
                 ro = rollout(model, p, batch, T, w_q, w_p, k_roll,
                              training=True, time_token=cfg.time_token,
-                             time_forward=True)
+                             time_forward=True,
+                             use_remat=cfg.rollout_remat)
                 return total_loss(ro, cfg.gamma, alpha_design)
 
             (loss, m), grads = jax.value_and_grad(loss_fn,
