@@ -148,6 +148,16 @@ class HPOB:
         qy = np.zeros((batch_size, n_query, 1), np.float32)
         tx = np.zeros((batch_size, n_target, self.dim_x), np.float32)
         ty = np.zeros((batch_size, n_target, 1), np.float32)
+        need = n_context + n_query + n_target
+        too_small = [d for d in self.dataset_ids
+                     if self._X[d].shape[0] < need]
+        if too_small:
+            raise ValueError(
+                f"HPO-B sample needs n_context+n_query+n_target={need} "
+                f"rows but datasets {too_small[:5]} have fewer (the "
+                f"reference crashes identically on short datasets, "
+                f"tasks/hpo.py:158-168); lower n_query/n_target or drop "
+                f"the short datasets")
         for i in range(batch_size):
             did = self.dataset_ids[int(rng.integers(self.n_dataset))]
             X, y = self._X[did], self._y[did]

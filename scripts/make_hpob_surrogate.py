@@ -69,7 +69,7 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     train = {str(8000 + i): make_dataset(rng, dim,
-                                         int(rng.integers(150, 400)))
+                                         int(rng.integers(250, 500)))
              for i in range(32)}
     with open(os.path.join(out, "ranger.json"), "w") as fh:
         json.dump(train, fh)
