@@ -28,3 +28,15 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ALINE_PLATFORM"):
+    # Hosted environments may pin the JAX platform from sitecustomize
+    # (ignoring JAX_PLATFORMS); this knob lets any CLI force a backend,
+    # e.g. ALINE_PLATFORM=cpu to run evals off-chip while a training job
+    # owns the TPU. Must run before the first device use; importing
+    # aline_tpu from an entry point satisfies that.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ALINE_PLATFORM"])

@@ -17,6 +17,7 @@ import ast
 import copy
 import dataclasses
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -330,9 +331,15 @@ def _coerce(value_str: str, current: Any):
     if isinstance(current, float):
         return float(s)
     if isinstance(current, (list, tuple)) or current is None:
-        # Lists like [predefined] or [[False,True]] — accept python/JSON text.
+        # Lists like [predefined] or [[False,True]] — accept python/JSON text
+        # (JSON spellings true/false/null are normalized so e.g.
+        # task.predefined_masks=[[false,true],[true,false]] parses).
         try:
-            return ast.literal_eval(s)
+            normalized = re.sub(
+                r"\b(true|false|null)\b",
+                lambda m: {"true": "True", "false": "False",
+                           "null": "None"}[m.group(0)], s)
+            return ast.literal_eval(normalized)
         except (ValueError, SyntaxError):
             # Bare comma-separated or single token → list of strings / string
             if s.startswith("[") and s.endswith("]"):

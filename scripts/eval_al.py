@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--benchmark", default=None,
                     help="also evaluate OOD on this analytic benchmark")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated eval seeds for across-seed error "
+                         "bars (overrides --seed); extra seeds' curves are "
+                         "saved with a seed{N}_ prefix")
     args = ap.parse_args()
 
     import jax
@@ -41,20 +45,39 @@ def main():
 
     cfg, model, params = load_config_and_model(args.run_dir, args.file_name)
     task = build_task(cfg.task)
-    key = jax.random.key(args.seed)
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+
+    results = {}
+    finals = {}
+    for seed in seeds:
+        key = jax.random.key(seed)
+        k_batch, k_roll = jax.random.split(key)
+        batch = task.sample_batch(k_batch, args.batch_size,
+                                  n_query=args.n_query)
+        curves = compare_strategies(model, params, batch, args.T, k_roll,
+                                    time_token=cfg.time_token)
+        pre = "" if seed == seeds[0] else f"seed{seed}_"
+        for name, out in curves.items():
+            lp, rm = np.asarray(out["log_prob"]), np.asarray(out["rmse"])
+            results[f"{pre}{name}_log_prob"] = lp
+            results[f"{pre}{name}_rmse"] = rm
+            finals.setdefault(name, []).append(
+                (lp[:, -1].mean(), rm[:, -1].mean()))
+            print(f"[seed {seed}] {name}: final log_prob "
+                  f"{lp[:, -1].mean():.4f}, final rmse "
+                  f"{rm[:, -1].mean():.4f}")
+    if len(seeds) > 1:
+        print(f"== across {len(seeds)} eval seeds (mean ± std) ==")
+        for name, vals in finals.items():
+            lls = np.array([v[0] for v in vals])
+            rms = np.array([v[1] for v in vals])
+            print(f"{name}: final LL {lls.mean():.4f} ± {lls.std():.4f}, "
+                  f"final RMSE {rms.mean():.4f} ± {rms.std():.4f}")
+    key = jax.random.key(seeds[0])
     k_batch, k_roll = jax.random.split(key)
     batch = task.sample_batch(k_batch, args.batch_size,
                               n_query=args.n_query)
-
-    results = {}
-    curves = compare_strategies(model, params, batch, args.T, k_roll,
-                                time_token=cfg.time_token)
-    for name, out in curves.items():
-        results[f"{name}_log_prob"] = np.asarray(out["log_prob"])
-        results[f"{name}_rmse"] = np.asarray(out["rmse"])
-        print(f"{name}: final log_prob "
-              f"{results[f'{name}_log_prob'][:, -1].mean():.4f}, "
-              f"final rmse {results[f'{name}_rmse'][:, -1].mean():.4f}")
 
     if args.with_gp_baselines and batch.n_target_data > 0:
         gp_res = compare_acquisition_methods(

@@ -54,18 +54,29 @@ def main():
     results = {f"aline_{k}": v for k, v in bounds.items()}
 
     if args.with_random_baseline:
-        # random designs on the same budget
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        # random designs at the SAME protocol scale as the policy: M outer
+        # rollouts in batch_size chunks, mean ± SE across all M (fixes the
+        # round-2 M-mismatch where the baseline was a single batch)
+        pces, nmcs = [], []
         B = args.batch_size
-        theta = task.sample_theta(k1, (B,))
-        x = task.sample_data(k2, B, T + task.n_context_init)
-        y = task.simulate(k3, task.unnormalise_design(x), theta[:, None])
-        pce, nmc = compute_eig_from_history(
-            task, theta, task.unnormalise_design(x), y, args.L, k4,
-            L_chunk=args.L_chunk, stepwise=True)
-        results["random_pce_mean"] = np.asarray(pce).mean(0)
-        results["random_nmc_mean"] = np.asarray(nmc).mean(0)
-        print("random designs:")
+        for _ in range((args.M + B - 1) // B):
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            theta = task.sample_theta(k1, (B,))
+            x = task.sample_data(k2, B, T + task.n_context_init)
+            y = task.simulate(k3, task.unnormalise_design(x),
+                              theta[:, None])
+            pce, nmc = compute_eig_from_history(
+                task, theta, task.unnormalise_design(x), y, args.L, k4,
+                L_chunk=args.L_chunk, stepwise=True)
+            pces.append(np.asarray(pce))
+            nmcs.append(np.asarray(nmc))
+        pce = np.concatenate(pces, axis=0)[:args.M]
+        nmc = np.concatenate(nmcs, axis=0)[:args.M]
+        results["random_pce_mean"] = pce.mean(0)
+        results["random_pce_err"] = pce.std(0) / np.sqrt(pce.shape[0])
+        results["random_nmc_mean"] = nmc.mean(0)
+        results["random_nmc_err"] = nmc.std(0) / np.sqrt(nmc.shape[0])
+        print(f"random designs (M={pce.shape[0]}):")
         print("  sPCE per step:",
               np.array2string(results["random_pce_mean"], precision=3))
 

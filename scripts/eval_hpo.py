@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--n-query", type=int, default=100)
     ap.add_argument("--n-target", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated eval seeds for across-seed error "
+                         "bars (overrides --seed); the test batch is fixed "
+                         "by the benchmark, seeds vary the rollout keys")
     args = ap.parse_args()
 
     import jax
@@ -61,16 +65,31 @@ def main():
     batch = task._pack_batch(x, y, jnp.asarray(tx), jnp.asarray(ty),
                              jnp.zeros((B, 0, 1)), None)
 
-    curves = compare_strategies(model, params, batch, args.T,
-                                jax.random.key(args.seed),
-                                time_token=cfg.time_token)
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
     results = {}
-    for name, out in curves.items():
-        results[f"{name}_log_prob"] = np.asarray(out["log_prob"])
-        results[f"{name}_rmse"] = np.asarray(out["rmse"])
-        print(f"{name}: final log_prob "
-              f"{results[f'{name}_log_prob'][:, -1].mean():.4f}, "
-              f"final rmse {results[f'{name}_rmse'][:, -1].mean():.4f}")
+    finals = {}
+    for seed in seeds:
+        curves = compare_strategies(model, params, batch, args.T,
+                                    jax.random.key(seed),
+                                    time_token=cfg.time_token)
+        pre = "" if seed == seeds[0] else f"seed{seed}_"
+        for name, out in curves.items():
+            lp, rm = np.asarray(out["log_prob"]), np.asarray(out["rmse"])
+            results[f"{pre}{name}_log_prob"] = lp
+            results[f"{pre}{name}_rmse"] = rm
+            finals.setdefault(name, []).append(
+                (lp[:, -1].mean(), rm[:, -1].mean()))
+            print(f"[seed {seed}] {name}: final log_prob "
+                  f"{lp[:, -1].mean():.4f}, "
+                  f"final rmse {rm[:, -1].mean():.4f}")
+    if len(seeds) > 1:
+        print(f"== across {len(seeds)} eval seeds (mean ± std) ==")
+        for name, vals in finals.items():
+            lls = np.array([v[0] for v in vals])
+            rms = np.array([v[1] for v in vals])
+            print(f"{name}: final LL {lls.mean():.4f} ± {lls.std():.4f}, "
+                  f"final RMSE {rms.mean():.4f} ± {rms.std():.4f}")
 
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)

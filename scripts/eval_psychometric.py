@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--T", type=int, default=30)
     ap.add_argument("--n-query", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated eval seeds for across-seed error "
+                         "bars (overrides --seed)")
     args = ap.parse_args()
 
     import jax
@@ -37,8 +40,8 @@ def main():
 
     cfg, model, params = load_config_and_model(args.run_dir, args.file_name)
     task = build_task(cfg.task)
-    key = jax.random.key(args.seed)
-    k_batch, k_roll = jax.random.split(key)
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
 
     param_names = ["alpha", "beta", "gamma", "lambda"]
     masks = {
@@ -47,21 +50,38 @@ def main():
         "all": np.ones(4, bool),
     }
     results = {}
-    for mask_name, mask in masks.items():
-        batch = task.sample_batch(k_batch, args.batch_size,
-                                  n_query=args.n_query)
-        batch = batch.replace(target_mask=jnp.asarray(mask))
-        w_q, _ = target_weight_vectors(mask, cfg.task.embedding_type,
-                                       "predefined", 0, 4)
-        out = al_rollout_curves(model, params, batch, args.T, k_roll,
-                                target_weights=jnp.asarray(w_q),
-                                time_token=cfg.time_token)
-        results[f"{mask_name}_log_prob"] = np.asarray(out["log_prob"])
-        results[f"{mask_name}_rmse"] = np.asarray(out["rmse"])
-        sel = [n for n, m in zip(param_names, mask) if m]
-        print(f"mask {mask_name} (targets: {sel}): "
-              f"final LL {results[f'{mask_name}_log_prob'][:, -1].mean():.4f} "
-              f"final RMSE {results[f'{mask_name}_rmse'][:, -1].mean():.4f}")
+    finals = {}
+    for seed in seeds:
+        key = jax.random.key(seed)
+        k_batch, k_roll = jax.random.split(key)
+        pre = "" if seed == seeds[0] else f"seed{seed}_"
+        for mask_name, mask in masks.items():
+            batch = task.sample_batch(k_batch, args.batch_size,
+                                      n_query=args.n_query)
+            batch = batch.replace(target_mask=jnp.asarray(mask))
+            w_q, _ = target_weight_vectors(mask, cfg.task.embedding_type,
+                                           "predefined", 0, 4)
+            out = al_rollout_curves(model, params, batch, args.T, k_roll,
+                                    target_weights=jnp.asarray(w_q),
+                                    time_token=cfg.time_token)
+            lp = np.asarray(out["log_prob"])
+            rm = np.asarray(out["rmse"])
+            results[f"{pre}{mask_name}_log_prob"] = lp
+            results[f"{pre}{mask_name}_rmse"] = rm
+            finals.setdefault(mask_name, []).append(
+                (lp[:, -1].mean(), rm[:, -1].mean()))
+            sel = [n for n, m in zip(param_names, mask) if m]
+            print(f"[seed {seed}] mask {mask_name} (targets: {sel}): "
+                  f"final LL {lp[:, -1].mean():.4f} "
+                  f"final RMSE {rm[:, -1].mean():.4f}")
+    if len(seeds) > 1:
+        print(f"== across {len(seeds)} eval seeds (mean ± std) ==")
+        for mask_name, vals in finals.items():
+            lls = np.array([v[0] for v in vals])
+            rms = np.array([v[1] for v in vals])
+            print(f"{mask_name}: final LL {lls.mean():.4f} ± "
+                  f"{lls.std():.4f}, final RMSE {rms.mean():.4f} ± "
+                  f"{rms.std():.4f}")
 
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)

@@ -57,33 +57,49 @@ def make_dataset(rng, dim, n_evals):
             "y": np.round(y[:, None], 6).tolist()}
 
 
+# search-space dims per the reference (reference: config/task/hpo.yaml:6
+# "glmnet=5, ranger=6, svm=4, rpart=4, xgboost=6") and their HPO-B space
+# ids (reference: tasks/hpo.py:128)
+SPACES = {"ranger": ("7609", 6), "glmnet": ("5860", 5), "svm": ("5891", 4),
+          "rpart": ("5859", 4), "xgboost": ("5971", 6)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"))
-    ap.add_argument("--seed", type=int, default=7609)
+    ap.add_argument("--space", default="ranger", choices=sorted(SPACES))
+    ap.add_argument("--seed", type=int, default=None,
+                    help="defaults to the numeric HPO-B space id")
     args = ap.parse_args()
-    rng = np.random.default_rng(args.seed)
-    dim = 6          # HPO-B ranger (7609) is 6-D (reference hpo.yaml:6)
+    space_id, dim = SPACES[args.space]
+    rng = np.random.default_rng(args.seed if args.seed is not None
+                                else int(space_id))
     out = os.path.join(args.out, "HPOB")
     os.makedirs(out, exist_ok=True)
 
     train = {str(8000 + i): make_dataset(rng, dim,
                                          int(rng.integers(250, 500)))
              for i in range(32)}
-    with open(os.path.join(out, "ranger.json"), "w") as fh:
+    with open(os.path.join(out, f"{args.space}.json"), "w") as fh:
         json.dump(train, fh)
 
     test = {str(9000 + i): make_dataset(rng, dim, 500) for i in range(6)}
-    with open(os.path.join(out, "ranger_test.json"), "w") as fh:
+    with open(os.path.join(out, f"{args.space}_test.json"), "w") as fh:
         json.dump(test, fh)
 
     # 5 fixed BO-initialization index lists per test dataset (the real
     # benchmark ships exactly this structure, reference: tasks/hpo.py:187-243)
-    bo = {"7609": {did: {f"test{s}": sorted(
+    # — merged into the shared bo-initializations.json across spaces
+    bo_path = os.path.join(out, "bo-initializations.json")
+    bo = {}
+    if os.path.exists(bo_path):
+        with open(bo_path) as fh:
+            bo = json.load(fh)
+    bo[space_id] = {did: {f"test{s}": sorted(
         rng.choice(len(d["X"]), 5, replace=False).tolist())
-        for s in range(5)} for did, d in test.items()}}
-    with open(os.path.join(out, "bo-initializations.json"), "w") as fh:
+        for s in range(5)} for did, d in test.items()}
+    with open(bo_path, "w") as fh:
         json.dump(bo, fh)
 
     sizes = {p: os.path.getsize(os.path.join(out, p)) // 1024

@@ -73,3 +73,19 @@ def test_presets_cover_reference_tasks():
 def test_to_yaml_roundtrippable():
     s = to_yaml(Config())
     assert '"dim_embedding": 32' in s
+
+
+def test_nested_list_json_booleans():
+    """JSON-spelled nested mask lists parse (round-3 fix: lowercase
+    true/false/null inside list literals previously hit the naive
+    comma-split fallback and came back as mangled strings)."""
+    cfg = parse_overrides([
+        "task=psychometric",
+        "task.predefined_masks=[[false,false,true,true],"
+        "[true,true,false,false],[true,true,true,true]]",
+        "task.predefined_mask_weights=[1,1,1]"])
+    assert cfg.task.predefined_masks == [
+        [False, False, True, True],
+        [True, True, False, False],
+        [True, True, True, True]]
+    assert cfg.task.predefined_mask_weights == [1, 1, 1]

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aline_tpu.config import parse_overrides
 from aline_tpu.models import build_model
@@ -13,59 +14,61 @@ from aline_tpu.train.loss import total_loss
 from aline_tpu.train.rollout import RolloutOutputs
 from aline_tpu.tasks import build_task
 
+B, T = 4, 4
 
-def continuous_cfg():
+
+@pytest.fixture(scope="module")
+def cont():
+    """Shared (cfg, task, model, batch, params) — model init and the task
+    build dominate per-test cost, and every test here is read-only."""
     cfg = parse_overrides(["task=location_finding",
                            "task.n_query_init=1"])
     cfg.head.continuous = True
     cfg.embedder.continuous = True
-    return cfg
+    task = build_task(cfg.task)
+    model = build_model(cfg)
+    key = jax.random.key(0)
+    batch = make_continuous_batch(task, key, B, T)
+    params = model.init(key, batch, training=False)
+    return cfg, task, model, batch, params
 
 
 class TestContinuousRollout:
-    def _setup(self, rng_key, B=4, T=5):
-        cfg = continuous_cfg()
-        task = build_task(cfg.task)
-        model = build_model(cfg)
-        batch = make_continuous_batch(task, rng_key, B, T)
-        params = model.init(rng_key, batch, training=False)
-        return cfg, task, model, batch, params
-
-    def test_batch_layout(self, rng_key):
-        cfg, task, model, batch, params = self._setup(rng_key, B=3, T=4)
-        assert batch.x.shape == (3, 1 + 4 + 1, 2)
+    def test_batch_layout(self, cont):
+        cfg, task, model, batch, params = cont
+        assert batch.x.shape == (B, 1 + T + 1, 2)
         np.testing.assert_array_equal(np.asarray(batch.ctx_mask[:, 0]), True)
         np.testing.assert_array_equal(np.asarray(batch.ctx_mask[:, 1:]),
                                       False)
 
-    def test_rollout_fills_buffer(self, rng_key):
-        cfg, task, model, batch, params = self._setup(rng_key, B=4, T=5)
+    def test_rollout_fills_buffer(self, cont):
+        cfg, task, model, batch, params = cont
         w = jnp.ones((2,)) / 2.0
-        ro = rollout_continuous(model, params, task, batch, 5, w, w,
-                                rng_key, training=True)
-        assert ro.log_probs.shape == (5, 4)
-        assert ro.xs.shape == (5, 4, 2)
-        assert ro.ys.shape == (5, 4, 1)
+        ro = rollout_continuous(model, params, task, batch, T, w, w,
+                                jax.random.key(0), training=True)
+        assert ro.log_probs.shape == (T, B)
+        assert ro.xs.shape == (T, B, 2)
+        assert ro.ys.shape == (T, B, 1)
         assert np.isfinite(np.asarray(ro.nll_pred)).all()
         assert np.isfinite(np.asarray(ro.log_probs)).all()
 
-    def test_greedy_emits_policy_mean(self, rng_key):
-        cfg, task, model, batch, params = self._setup(rng_key, B=2, T=3)
+    def test_greedy_emits_policy_mean(self, cont):
+        cfg, task, model, batch, params = cont
         w = jnp.ones((2,)) / 2.0
-        ro1 = rollout_continuous(model, params, task, batch, 3, w, w,
+        ro1 = rollout_continuous(model, params, task, batch, T, w, w,
                                  jax.random.key(1), training=False)
         # outcomes depend on the sim key, but designs must be deterministic
-        ro2 = rollout_continuous(model, params, task, batch, 3, w, w,
+        ro2 = rollout_continuous(model, params, task, batch, T, w, w,
                                  jax.random.key(1), training=False)
         np.testing.assert_array_equal(np.asarray(ro1.xs), np.asarray(ro2.xs))
 
-    def test_trainable_with_reinforce(self, rng_key):
-        cfg, task, model, batch, params = self._setup(rng_key, B=6, T=4)
+    def test_trainable_with_reinforce(self, cont):
+        cfg, task, model, batch, params = cont
         w = jnp.ones((2,)) / 2.0
 
         def loss_fn(p):
-            ro = rollout_continuous(model, p, task, batch, 4, w, w,
-                                    rng_key, training=True)
+            ro = rollout_continuous(model, p, task, batch, T, w, w,
+                                    jax.random.key(2), training=True)
             ro_std = RolloutOutputs(ro.log_probs, ro.nll_query, ro.nll_pred,
                                     None, ro.xs, ro.ys, None)
             loss, m = total_loss(ro_std, 0.95, jnp.asarray(1.0))

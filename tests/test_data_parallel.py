@@ -19,6 +19,7 @@ def dp_cfg(tmp, batch_size, mesh_data=0):
 
 
 class TestDataParallelTraining:
+    @pytest.mark.slow
     def test_dp_matches_single_device(self, tmp_path):
         """Same seed → DP-sharded losses match single-device over epochs,
         and the gradients of one identical step match across meshes (params

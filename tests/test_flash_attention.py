@@ -76,6 +76,7 @@ class TestFlashKernel:
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
                 err_msg=f"d{name} mismatch")
 
+    @pytest.mark.slow
     def test_model_forward_with_flash_impl(self, rng_key):
         """Full model forward under attention_impl=flash equals naive."""
         cfg = parse_overrides(["task=al_mix", "task.dim_x=1",

@@ -37,6 +37,7 @@ def test_config_from_dict_ignores_unknown_keys():
     assert cfg.task.target == "ces"
 
 
+@pytest.mark.slow
 def test_train_main_end_to_end(tmp_path):
     """Tiny full training run through the CLI entry, then reload the model
     and verify it produces finite outputs (the load_config_and_model path,

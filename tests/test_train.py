@@ -178,9 +178,9 @@ class TestOptimizer:
 
 class TestTrainer:
     def test_loss_decreases_on_prediction(self, tmp_path):
-        cfg = tiny_cfg(tmp_path, max_epoch=30, burning_epoch=40)  # all burning
+        cfg = tiny_cfg(tmp_path, max_epoch=16, burning_epoch=20)  # all burning
         trainer = Trainer(cfg)
-        losses = [trainer.train_epoch(e)["loss"] for e in range(30)]
+        losses = [trainer.train_epoch(e)["loss"] for e in range(16)]
         assert np.mean(losses[-5:]) < np.mean(losses[:5]), \
             f"prediction loss did not decrease: {losses[:3]} → {losses[-3:]}"
 
@@ -194,6 +194,7 @@ class TestTrainer:
         snap = os.path.join(str(tmp_path), "model", "aline_burning")
         assert os.path.exists(snap)
 
+    @pytest.mark.slow
     def test_checkpoint_resume_bit_exact(self, tmp_path):
         cfg = tiny_cfg(tmp_path, max_epoch=8, burning_epoch=2,
                        checkpoint=4)
