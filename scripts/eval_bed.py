@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--T", type=int, default=None)
     ap.add_argument("--L-chunk", type=int, default=32768)
     ap.add_argument("--with-random-baseline", action="store_true")
+    ap.add_argument("--skip-policy", action="store_true",
+                    help="only compute the random-design baseline (uses the "
+                         "run dir for task config only)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -42,16 +45,18 @@ def main():
         cfg.eval.T_final - cfg.task.n_context_init
     key = jax.random.key(args.seed)
 
-    bounds = eval_boed(model, params, task, T, args.L, args.M,
-                       args.batch_size, key, cfg.time_token, stepwise=True,
-                       L_chunk=args.L_chunk, n_query=args.n_query)
-    print("ALINE policy:")
-    print("  sPCE per step:", np.array2string(bounds["pce_mean"],
-                                              precision=3))
-    print("  sNMC per step:", np.array2string(bounds["nmc_mean"],
-                                              precision=3))
-
-    results = {f"aline_{k}": v for k, v in bounds.items()}
+    results = {}
+    if not args.skip_policy:
+        bounds = eval_boed(model, params, task, T, args.L, args.M,
+                           args.batch_size, key, cfg.time_token,
+                           stepwise=True, L_chunk=args.L_chunk,
+                           n_query=args.n_query)
+        print("ALINE policy:")
+        print("  sPCE per step:", np.array2string(bounds["pce_mean"],
+                                                  precision=3))
+        print("  sNMC per step:", np.array2string(bounds["nmc_mean"],
+                                                  precision=3))
+        results = {f"aline_{k}": v for k, v in bounds.items()}
 
     if args.with_random_baseline:
         # random designs at the SAME protocol scale as the policy: M outer
@@ -82,8 +87,9 @@ def main():
 
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
+    stem = "random_bounds" if args.skip_policy else "bed_bounds"
     out = os.path.join(out_dir,
-                       f"bed_bounds_N{args.n_query}_T{T}_L{args.L}.npz")
+                       f"{stem}_N{args.n_query}_T{T}_L{args.L}.npz")
     np.savez(out, **results)
     print(f"saved bounds to {out}")
 
