@@ -33,6 +33,12 @@ def main():
                     help="comma-separated eval seeds for across-seed error "
                          "bars (overrides --seed); extra seeds' curves are "
                          "saved with a seed{N}_ prefix")
+    ap.add_argument("--mask", default="default",
+                    choices=("default", "data", "theta"),
+                    help="target mask for the curves: 'data' / 'theta' "
+                         "select only the data / theta targets (the "
+                         "split-mask quality protocol for mix-mode tasks); "
+                         "'default' keeps the batch's mask (all targets)")
     args = ap.parse_args()
 
     import jax
@@ -48,13 +54,22 @@ def main():
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else [args.seed])
 
+    def apply_mask(batch):
+        if args.mask == "default":
+            return batch
+        import jax.numpy as jnp
+        n_d, n_t = batch.n_target_data, batch.n_target - batch.n_target_data
+        sel = (jnp.arange(batch.n_target) < n_d)
+        mask = sel if args.mask == "data" else ~sel
+        return batch.replace(target_mask=mask)
+
     results = {}
     finals = {}
     for seed in seeds:
         key = jax.random.key(seed)
         k_batch, k_roll = jax.random.split(key)
-        batch = task.sample_batch(k_batch, args.batch_size,
-                                  n_query=args.n_query)
+        batch = apply_mask(task.sample_batch(k_batch, args.batch_size,
+                                             n_query=args.n_query))
         curves = compare_strategies(model, params, batch, args.T, k_roll,
                                     time_token=cfg.time_token)
         pre = "" if seed == seeds[0] else f"seed{seed}_"
@@ -74,10 +89,12 @@ def main():
             rms = np.array([v[1] for v in vals])
             print(f"{name}: final LL {lls.mean():.4f} ± {lls.std():.4f}, "
                   f"final RMSE {rms.mean():.4f} ± {rms.std():.4f}")
+    # fresh first-seed batch for the optional classical-baseline /
+    # OOD-benchmark sections below
     key = jax.random.key(seeds[0])
     k_batch, k_roll = jax.random.split(key)
-    batch = task.sample_batch(k_batch, args.batch_size,
-                              n_query=args.n_query)
+    batch = apply_mask(task.sample_batch(k_batch, args.batch_size,
+                                         n_query=args.n_query))
 
     if args.with_gp_baselines and batch.n_target_data > 0:
         gp_res = compare_acquisition_methods(
@@ -115,7 +132,9 @@ def main():
 
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(out_dir, "al_curves.npz")
+    stem = ("al_curves" if args.mask == "default"
+            else f"al_curves_{args.mask}_mask")
+    out_path = os.path.join(out_dir, f"{stem}.npz")
     np.savez(out_path, **results)
     print(f"saved curves to {out_path}")
 

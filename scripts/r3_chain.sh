@@ -11,7 +11,10 @@ while ! grep -q "al2d_r3 exit:" /tmp/al2d_r3.log 2>/dev/null; do sleep 60; done
 # GP-AL-2D eval: split-mask protocol, 200 problems, 3 eval seeds (item 1+9)
 timeout 5400 python scripts/eval_al.py outputs/al2d_r3_bf16 \
   --file-name aline_al_2d --batch-size 200 --T 50 --n-query 500 \
-  --seeds 0,1,2 > /tmp/eval_al2d_r3.log 2>&1
+  --mask data --seeds 0,1,2 > /tmp/eval_al2d_r3_data.log 2>&1
+timeout 5400 python scripts/eval_al.py outputs/al2d_r3_bf16 \
+  --file-name aline_al_2d --batch-size 200 --T 50 --n-query 500 \
+  --mask theta --seeds 0,1,2 > /tmp/eval_al2d_r3_theta.log 2>&1
 touch /tmp/r3_al2d_done
 
 # ---- CES: resume 80k -> 150k (item 5); built-in final eval at
