@@ -294,6 +294,12 @@ class Config:
     # True bounds HBM to one step's activations (needed for big B*N*T);
     # False trades memory for ~no recompute (faster when it fits).
     rollout_remat: bool = True
+    # remat granularity: 'full' recomputes everything in the backward pass;
+    # 'dots' saves matmul outputs (jax.checkpoint_policies
+    # .dots_with_no_batch_dims_saveable) and recomputes only elementwise ops
+    remat_policy: str = "full"
+    # lax.scan unroll factor for the T-step rollout (1 = no unrolling)
+    rollout_unroll: int = 1
     # Computation dtype for the model ("float32" | "bfloat16").
     dtype: str = "float32"
     # Numerics guard: enable jax_debug_nans (the TPU equivalent of the

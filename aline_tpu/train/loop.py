@@ -108,7 +108,9 @@ class Trainer:
                 ro = rollout(model, p, batch, T, w_q, w_p, k_roll,
                              training=True, time_token=cfg.time_token,
                              time_forward=True,
-                             use_remat=cfg.rollout_remat)
+                             use_remat=cfg.rollout_remat,
+                             remat_policy=cfg.remat_policy,
+                             unroll=cfg.rollout_unroll)
                 return total_loss(ro, cfg.gamma, alpha_design)
 
             (loss, m), grads = jax.value_and_grad(loss_fn,

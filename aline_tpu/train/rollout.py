@@ -31,7 +31,8 @@ class RolloutOutputs(NamedTuple):
 def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
             w_pred: jnp.ndarray, key: jax.Array, *, training: bool,
             time_token: bool = False, time_forward: bool = True,
-            use_remat: bool = True) -> RolloutOutputs:
+            use_remat: bool = True, remat_policy: str = "full",
+            unroll: int = 1) -> RolloutOutputs:
     """Run T acquisition steps.
 
     Args:
@@ -45,6 +46,10 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
             reference utils/eval.py:26 — the reference's documented
             direction mismatch, reproduced faithfully per mode).
         use_remat: checkpoint each step's activations for the backward pass.
+        remat_policy: 'full' (recompute everything) or 'dots' (save matmul
+            outputs, recompute elementwise — trades a little rollout memory
+            for less backward-pass recompute).
+        unroll: lax.scan unroll factor (XLA fuses across unrolled steps).
     """
     target_vals = batch.target_all[..., 0]                   # [B, n_target]
 
@@ -74,9 +79,15 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
         return (b2.ctx_mask, b2.ctx_idx, k), ys
 
     if use_remat:
-        step = jax.checkpoint(step)
+        if remat_policy == "dots":
+            step = jax.checkpoint(
+                step,
+                policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        else:
+            step = jax.checkpoint(step)
 
     (final_ctx, _, _), (log_probs, nll_q, nll_p, idx, xs, ys) = jax.lax.scan(
         step, (batch.ctx_mask, batch.ctx_idx, key),
-        jnp.arange(T, dtype=jnp.float32))
+        jnp.arange(T, dtype=jnp.float32), unroll=unroll)
     return RolloutOutputs(log_probs, nll_q, nll_p, idx, xs, ys, final_ctx)

@@ -340,6 +340,9 @@ class TestQueryPoolSharding:
         np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.slow  # seq-mesh equality is covered fast by
+    # test_sharded_traces_match_unsharded; this end-to-end eval_boed
+    # integration runs in the slow tier
     def test_eval_boed_with_seq_mesh(self):
         from jax.sharding import Mesh
         from aline_tpu.config import parse_overrides

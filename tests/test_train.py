@@ -60,6 +60,23 @@ class TestRollout:
         # context grew by exactly T
         assert int(ro.final_ctx_mask.sum()) == 5 * (1 + 4)
 
+    def test_unroll_and_remat_policy_equal_defaults(self, rng_key):
+        """Perf knobs (scan unroll, dots remat policy) must not change the
+        trajectory or the recorded losses."""
+        cfg, task, model, batch, params, w_q, w_p = self._setup(rng_key)
+        kw = dict(training=True)
+        ro0 = rollout(model, params, batch, 4, jnp.asarray(w_q),
+                      jnp.asarray(w_p), rng_key, **kw)
+        ro_u = rollout(model, params, batch, 4, jnp.asarray(w_q),
+                       jnp.asarray(w_p), rng_key, unroll=2, **kw)
+        ro_d = rollout(model, params, batch, 4, jnp.asarray(w_q),
+                       jnp.asarray(w_p), rng_key, remat_policy="dots", **kw)
+        for ro in (ro_u, ro_d):
+            np.testing.assert_array_equal(np.asarray(ro.idx),
+                                          np.asarray(ro0.idx))
+            np.testing.assert_allclose(np.asarray(ro.nll_pred),
+                                       np.asarray(ro0.nll_pred), rtol=1e-6)
+
     def test_chosen_xy_match_buffer(self, rng_key):
         cfg, task, model, batch, params, w_q, w_p = self._setup(rng_key)
         ro = rollout(model, params, batch, 3, jnp.asarray(w_q),
@@ -234,6 +251,9 @@ class TestCtxIdxCarryRegression:
     EXACTLY the same trajectory as the argsort-based compact path and the
     dense path."""
 
+    @pytest.mark.slow  # the trainer-level variant below covers the same
+    # regression fast; this exhaustive 3-path rollout comparison runs in
+    # the slow tier
     def test_incremental_buffer_matches_argsort_and_dense(self, rng_key):
         import jax.numpy as jnp
         from aline_tpu.config import parse_overrides
