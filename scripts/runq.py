@@ -1,0 +1,241 @@
+#!/usr/bin/env python3
+"""Stall-aware serial queue runner for the round-3 TPU lanes.
+
+The axon TPU tunnel occasionally starves a new client at attach time (the
+process sits at ~0% CPU with no log growth forever). This runner executes a
+lane of steps serially; each step gets a done-marker (skip on re-run), a
+hard timeout, and a watchdog that kills + retries the step when BOTH hold
+for `stall` seconds: the step's log stopped growing AND the step's process
+tree accrued <5s of CPU. Training steps resume from their checkpoints
+(`load_checkpoint=true`), so retries lose at most one checkpoint interval.
+
+Usage: runq.py LANE   (lane specs are defined at the bottom)
+"""
+import os
+import signal
+import subprocess
+import sys
+import time
+
+MARKER_DIR = "/tmp/r3m"
+
+
+def cpu_seconds(pgid):
+    """Total utime+stime (seconds) of all processes in the process group."""
+    total = 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            # fields after comm/state: ppid pgrp ... utime=11 stime=12 (0-idx
+            # into the post-comm list: state is parts[0])
+            if int(parts[2]) != pgid:
+                continue
+            total += (int(parts[11]) + int(parts[12])) / hz
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
+def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
+    marker = os.path.join(MARKER_DIR, f"{name}.done")
+    if os.path.exists(marker):
+        print(f"[runq] skip {name} (marker exists)", flush=True)
+        return
+    log = f"/tmp/runq_{name}.log"
+    for attempt in range(retries):
+        print(f"[runq] start {name} attempt {attempt}: {cmd}", flush=True)
+        with open(log, "a") as lf:
+            lf.write(f"\n=== runq {name} attempt {attempt} "
+                     f"{time.strftime('%H:%M:%S')} ===\n")
+            lf.flush()
+            p = subprocess.Popen(cmd, shell=True, stdout=lf, stderr=lf,
+                                 start_new_session=True)
+        t0 = time.time()
+        last_sz = os.path.getsize(log)
+        last_cpu = cpu_seconds(p.pid)
+        last_progress = time.time()
+        stalled = False
+        while p.poll() is None:
+            time.sleep(30)
+            try:
+                sz = os.path.getsize(log)
+            except OSError:
+                sz = last_sz
+            cpu = cpu_seconds(p.pid)
+            if sz != last_sz or cpu - last_cpu > 5.0:
+                last_sz, last_cpu, last_progress = sz, cpu, time.time()
+            if watch and time.time() - last_progress > stall:
+                print(f"[runq] {name}: STALL (no log growth, "
+                      f"{cpu - last_cpu:.1f}s cpu in {stall}s) — killing",
+                      flush=True)
+                stalled = True
+            if time.time() - t0 > timeout:
+                print(f"[runq] {name}: TIMEOUT after {timeout}s — killing",
+                      flush=True)
+                stalled = False  # timeout is final, no retry
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                p.wait()
+                break
+            if stalled:
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                p.wait()
+                break
+        if not stalled:
+            rc = p.returncode
+            print(f"[runq] {name}: exit {rc}", flush=True)
+            break
+        print(f"[runq] {name}: retrying after stall", flush=True)
+    open(marker, "w").close()
+
+
+def wait_for(*markers, timeout=43200):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if all(os.path.exists(os.path.join(MARKER_DIR, m + ".done"))
+               for m in markers):
+            return
+        time.sleep(60)
+    print(f"[runq] wait_for {markers} timed out", flush=True)
+
+
+AL2D_TRAIN = (
+    "python train.py task=al_mix task.dim_x=2 task.n_target_theta=3 "
+    "task.n_query_init=200 task.design_scale=5 gamma=1 min_T=50 T=50 "
+    "max_epoch=50000 burning_epoch=3000 dtype=bfloat16 checkpoint=2000 "
+    "verbose=1000 load_checkpoint=true file_name=aline_al_2d.pth "
+    "output_dir=outputs/al2d_r3_bf16"
+)
+
+LANES = {}
+
+LANES["A"] = lambda: (
+    run_step("al2d_train", AL2D_TRAIN, timeout=21600, stall=1500),
+    run_step("al2d_eval_data",
+             "python scripts/eval_al.py outputs/al2d_r3_bf16 "
+             "--file-name aline_al_2d --batch-size 200 --T 50 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("al2d_eval_theta",
+             "python scripts/eval_al.py outputs/al2d_r3_bf16 "
+             "--file-name aline_al_2d --batch-size 200 --T 50 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+    run_step("ces_prep",
+             "cp -rn outputs/ces_r2_bf16 outputs/ces_r3_bf16 || true",
+             timeout=300, watch=False),
+    run_step("ces_train",
+             "python train.py task=ces lr=1e-3 T=10 task.n_query_init=200 "
+             "max_epoch=150000 burning_epoch=20000 eval=bed "
+             "eval.batch_size=500 eval.L_final=10000000 "
+             "eval.batch_size_final=20 eval.n_query_final=2000 "
+             "eval.T_final=15 dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true file_name=aline_ces.pth "
+             "output_dir=outputs/ces_r3_bf16", timeout=21600, stall=3600),
+    run_step("ces_random",
+             "python scripts/eval_bed.py outputs/ces_r3_bf16 "
+             "--file-name aline_ces --L 10000000 --M 2000 --batch-size 20 "
+             "--n-query 2000 --T 15 --with-random-baseline --skip-policy",
+             timeout=14400, stall=3600),
+)
+
+LANES["B"] = lambda: (
+    run_step("hpo_train",
+             "python train.py task=hpo min_T=30 T=30 max_epoch=15000 "
+             "burning_epoch=3000 head.std_min=0.05 dtype=bfloat16 "
+             "checkpoint=1000 verbose=500 load_checkpoint=true "
+             "file_name=aline_hpo.pth output_dir=outputs/hpo_r3_calib",
+             timeout=10800),
+    run_step("hpo_eval",
+             "python scripts/eval_hpo.py outputs/hpo_r3_calib "
+             "--file-name aline_hpo --T 30 --n-query 100 --n-target 100 "
+             "--seeds 0,1,2", timeout=3600),
+    run_step("hpo_diag",
+             "ALINE_PLATFORM= python scripts/diag_hpo.py outputs/hpo_r3_calib "
+             "--file-name aline_hpo", timeout=2400),
+    run_step("hpo_svm_train",
+             "python train.py task=hpo task.meta_dataset=svm min_T=30 T=30 "
+             "max_epoch=15000 burning_epoch=3000 head.std_min=0.05 "
+             "dtype=bfloat16 checkpoint=1000 verbose=500 "
+             "load_checkpoint=true file_name=aline_hpo_svm.pth "
+             "output_dir=outputs/hpo_r3_svm", timeout=10800),
+    run_step("hpo_svm_eval",
+             "python scripts/eval_hpo.py outputs/hpo_r3_svm "
+             "--file-name aline_hpo_svm --T 30 --n-query 100 --n-target 100 "
+             "--seeds 0,1,2", timeout=3600),
+    run_step("cont_train",
+             "python scripts/train_continuous.py max_epoch=10000 "
+             "burning_epoch=2000 verbose=500 dtype=bfloat16 eval.EIG=true "
+             "eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3", timeout=10800),
+)
+
+LANES["C"] = lambda: (
+    wait_for("al2d_train"),
+    run_step("al1d_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=100000 burning_epoch=20000 "
+             "dtype=bfloat16 checkpoint=4000 verbose=1000 "
+             "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+             "file_name=aline_al_1d.pth output_dir=outputs/al1d_r3_bf16",
+             timeout=21600, stall=1500),
+    run_step("al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r3_bf16 "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r3_bf16 "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+)
+
+LANES["D"] = lambda: (
+    wait_for("ces_random", "cont_train", "al1d_eval_theta"),
+    run_step("bench_tasks", "python benchmarks/bench_tasks.py",
+             timeout=5400),
+    run_step("bench_knobs", "python benchmarks/bench_rollout_knobs.py",
+             timeout=3600),
+    run_step("seed10_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=5000 burning_epoch=1000 seed=10 "
+             "dtype=bfloat16 checkpoint=2500 verbose=1000 "
+             "load_checkpoint=true file_name=aline.pth "
+             "output_dir=outputs/al1d_seed10", timeout=5400),
+    run_step("seed8_eval",
+             "python scripts/eval_al.py outputs/al1d_seed8 --file-name aline "
+             "--batch-size 200 --T 30 --n-query 500 --mask data --seeds 0",
+             timeout=3600),
+    run_step("seed9_eval",
+             "python scripts/eval_al.py outputs/al1d_seed9 --file-name aline "
+             "--batch-size 200 --T 30 --n-query 500 --mask data --seeds 0",
+             timeout=3600),
+    run_step("seed10_eval",
+             "python scripts/eval_al.py outputs/al1d_seed10 --file-name aline "
+             "--batch-size 200 --T 30 --n-query 500 --mask data --seeds 0",
+             timeout=3600),
+)
+
+
+def main():
+    os.makedirs(MARKER_DIR, exist_ok=True)
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lane = sys.argv[1]
+    LANES[lane]()
+    open(os.path.join(MARKER_DIR, f"lane{lane}.done"), "w").close()
+    print(f"[runq] lane {lane} complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
