@@ -231,7 +231,15 @@ class Trainer:
         cfg = self.cfg
         self._ensure_phase(phase_for_epoch(cfg, self.start_epoch))
         if cfg.load_checkpoint:
-            self.restore(cfg.load_path)
+            ckpt = cfg.load_path or self._ckpt_dir()
+            if os.path.exists(os.path.join(os.path.abspath(ckpt),
+                                           "host_state.pkl")):
+                self.restore(cfg.load_path)
+            else:
+                # resume-if-present semantics: a fresh output dir starts from
+                # scratch instead of crashing, so idempotent relaunch wrappers
+                # can always pass load_checkpoint=true
+                self.logger.info(f"No checkpoint at {ckpt}; starting fresh")
 
         # NOTE: epochs dispatch asynchronously; per-epoch wall times are
         # only meaningful at the verbose sync points, so report the overall

@@ -89,7 +89,10 @@ def main():
     log(f"bench devices: {jax.devices()}")
     results = {}
     for name in only:
-        results[name] = bench_one(name, CONFIGS[name])
+        try:
+            results[name] = bench_one(name, CONFIGS[name])
+        except Exception as e:  # keep the rest of the table on one failure
+            log(f"{name}: FAILED ({type(e).__name__}: {e})")
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "artifacts", "bench_tasks.json")

@@ -46,6 +46,7 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
         print(f"[runq] skip {name} (marker exists)", flush=True)
         return
     log = f"/tmp/runq_{name}.log"
+    status = "failed"
     for attempt in range(retries):
         print(f"[runq] start {name} attempt {attempt}: {cmd}", flush=True)
         with open(log, "a") as lf:
@@ -82,6 +83,7 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
                 except OSError:
                     pass
                 p.wait()
+                status = "timeout"
                 break
             if stalled:
                 try:
@@ -90,12 +92,20 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
                     pass
                 p.wait()
                 break
-        if not stalled:
-            rc = p.returncode
-            print(f"[runq] {name}: exit {rc}", flush=True)
+        if stalled:
+            print(f"[runq] {name}: retrying after stall", flush=True)
+            continue
+        if status == "timeout":
+            break  # long steps resume from checkpoints; don't re-burn timeout
+        rc = p.returncode
+        print(f"[runq] {name}: exit {rc}", flush=True)
+        if rc == 0:
+            status = "ok"
             break
-        print(f"[runq] {name}: retrying after stall", flush=True)
-    open(marker, "w").close()
+        print(f"[runq] {name}: nonzero exit, retrying", flush=True)
+        time.sleep(60)
+    with open(marker, "w") as f:
+        f.write(status + "\n")
 
 
 def wait_for(*markers, timeout=43200):

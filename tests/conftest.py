@@ -23,7 +23,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # upgrades; delete the directory to force cold compiles.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 import numpy as np  # noqa: E402

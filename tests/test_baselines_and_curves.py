@@ -125,6 +125,7 @@ class TestGPALBaselines:
         assert float(out["rmse"][:, -1].mean()) <= \
             float(out["rmse"][:, 0].mean()) + 0.05
 
+    @pytest.mark.slow  # smoke over all 6 acquisitions (analysis-only path)
     def test_all_acquisitions_run(self, rng_key):
         x, y, tx, ty, n_ctx = self._problem(rng_key, B=1, P=10, Nt=4)
         res = compare_acquisition_methods(x, y, tx, ty, n_ctx, T=3,

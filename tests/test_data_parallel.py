@@ -75,6 +75,7 @@ class TestDataParallelTraining:
         losses8 = [float(t8.train_epoch(e)["loss"]) for e in range(3)]
         np.testing.assert_allclose(losses1, losses8, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow  # edge-case fallback; 1-vs-8 equality stays fast
     def test_indivisible_batch_falls_back(self, tmp_path):
         cfg = dp_cfg(tmp_path / "odd", batch_size=6)
         trainer = Trainer(cfg)

@@ -200,6 +200,7 @@ class TestTracesAndEvalBoed:
                                    np.asarray(task.unnormalise_design(
                                        batch.x[:, 0])), rtol=1e-6)
 
+    @pytest.mark.slow  # full-pipeline integration; traces test stays fast
     def test_eval_boed_pipeline(self, rng_key):
         task, cfg = location_task()
         model = build_model(cfg)

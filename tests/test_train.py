@@ -233,6 +233,16 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_load_checkpoint_missing_starts_fresh(self, tmp_path):
+        """load_checkpoint=true on a fresh output dir must start from
+        scratch (resume-if-present), not crash — relaunch wrappers pass
+        the flag unconditionally."""
+        cfg = tiny_cfg(tmp_path, max_epoch=2, burning_epoch=20,
+                       load_checkpoint="true")
+        trainer = Trainer(cfg)
+        trainer.train()
+        assert trainer.start_epoch == 0
+
     def test_burning_uses_shrunk_pool(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         trainer = Trainer(cfg)
