@@ -238,6 +238,30 @@ LANES["D"] = lambda: (
 )
 
 
+LANES["F"] = lambda: (
+    # continuous-design at 5x budget + a protocol-matched (T=30, M=400,
+    # L=1e6) discrete-policy/random eval for a clean 3-way comparison
+    run_step("cont50k_train",
+             "python scripts/train_continuous.py max_epoch=50000 "
+             "burning_epoch=5000 verbose=2000 dtype=bfloat16 eval.EIG=true "
+             "eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_50k", timeout=10800,
+             stall=1500),
+    run_step("disc_t30_eval",
+             "python scripts/eval_bed.py outputs/loc_r2_bf16 "
+             "--file-name aline_loc --L 1000000 --M 400 --batch-size 200 "
+             "--n-query 2000 --T 30 --with-random-baseline", timeout=7200),
+)
+
+LANES["E"] = lambda: (
+    wait_for("hpo_train"),  # don't add a third client while two trainers run
+    run_step("psych_r2_reeval",
+             "python scripts/eval_psychometric.py outputs/psych_r2_bf16 "
+             "--file-name aline_psych --seeds 0,1,2", timeout=3600),
+)
+
+
 def main():
     os.makedirs(MARKER_DIR, exist_ok=True)
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
