@@ -66,6 +66,12 @@ class HeadConfig:
     # Continuous (DAD-style) Gaussian design policy instead of discrete
     # candidate selection (reference: model/head.py:396-495).
     continuous: bool = False
+    # Clip range for the continuous policy's log-std (reference hardcodes
+    # [-20, 2] at model/head.py:471-472, which lets the exploration std
+    # collapse to ~0 or saturate at e^2=7.4; a bounded range such as
+    # [log 0.05, log 1] keeps REINFORCE + pathwise training stable).
+    policy_log_std_min: float = -20.0
+    policy_log_std_max: float = 2.0
     # Fused Pallas GMM-head kernel: "auto" (TPU only) | "on" | "off".
     fused_gmm: str = "auto"
 

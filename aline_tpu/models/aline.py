@@ -92,7 +92,10 @@ def build_model(cfg: Config) -> Aline:
         dtype=dtype,
         fused_gmm=fused_gmm,
     )
-    if not cfg.head.continuous:
+    if cfg.head.continuous:
+        kwargs["policy_log_std_min"] = cfg.head.policy_log_std_min
+        kwargs["policy_log_std_max"] = cfg.head.policy_log_std_max
+    else:
         kwargs["value_head"] = cfg.head.value_head
     head = head_cls(**kwargs)
     return Aline(embedder=embedder, encoder=encoder, head=head)

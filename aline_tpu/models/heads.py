@@ -82,6 +82,8 @@ class ContinuousAcquisitionHead(nn.Module):
     dim_feedforward: int
     dim_x: int
     time_token: bool = False
+    log_std_min: float = -20.0
+    log_std_max: float = 2.0
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, t: Optional[jnp.ndarray] = None):
@@ -95,7 +97,7 @@ class ContinuousAcquisitionHead(nn.Module):
         h_s = nn.Dense(self.dim_feedforward, name="log_std_predictor_fc1")(z)
         log_std = nn.Dense(self.dim_x,
                            name="log_std_predictor_fc2")(nn.relu(h_s))
-        log_std = jnp.clip(log_std, -20.0, 2.0)
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         return mean, jnp.exp(log_std)
 
 
@@ -272,10 +274,13 @@ class ContinuousOutputHead(nn.Module):
     time_token: bool = False
     dtype: jnp.dtype = jnp.float32
     fused_gmm: Optional[bool] = None
+    policy_log_std_min: float = -20.0
+    policy_log_std_max: float = 2.0
 
     def setup(self):
         self.acquisition_head = ContinuousAcquisitionHead(
             self.dim_feedforward, self.dim_x, self.time_token,
+            self.policy_log_std_min, self.policy_log_std_max,
             name="acquisition_head")
         self.target_head = GMMTargetHead(
             self.dim_y, self.dim_embedding, self.dim_feedforward,

@@ -29,6 +29,7 @@ class ContinuousRollout(NamedTuple):
     nll_pred: jnp.ndarray    # [T, B]
     xs: jnp.ndarray          # [T, B, dim_x] emitted designs (normalized)
     ys: jnp.ndarray          # [T, B, dim_y]
+    stds: jnp.ndarray        # [T, B, dim_x] policy exploration stds
 
 
 def make_continuous_batch(task: Task, key: jax.Array, batch_size: int,
@@ -87,11 +88,12 @@ def rollout_continuous(model, params, task: Task, batch: Batch, T: int,
         nll_q = -jnp.sum(ll * w_query, axis=-1)
         nll_p = -jnp.sum(ll * w_pred, axis=-1)
         return (x_buf, y_buf, ctx, k), (out.design_out.log_prob,
-                                        nll_q, nll_p, xi, y)
+                                        nll_q, nll_p, xi, y,
+                                        out.design_out.std[:, 0])
 
     if use_remat:
         step = jax.checkpoint(step)
-    (_, _, _, _), (lps, nq, np_, xs, ys) = jax.lax.scan(
+    (_, _, _, _), (lps, nq, np_, xs, ys, stds) = jax.lax.scan(
         step, (batch.x, batch.y, batch.ctx_mask, key),
         jnp.arange(T, dtype=jnp.float32))
-    return ContinuousRollout(lps, nq, np_, xs, ys)
+    return ContinuousRollout(lps, nq, np_, xs, ys, stds)

@@ -42,13 +42,14 @@ def main(argv=None):
     from aline_tpu.config import parse_overrides, to_yaml
     from aline_tpu.models import build_model
     from aline_tpu.tasks import build_task
-    from aline_tpu.train.checkpoint import save_checkpoint
+    from aline_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from aline_tpu.train.continuous import (make_continuous_batch,
                                             rollout_continuous)
     from aline_tpu.train.loss import total_loss
     from aline_tpu.train.optimizer import build_optimizer, phase_for_epoch
     from aline_tpu.train.rollout import RolloutOutputs
     from aline_tpu.utils.serialization import save_config
+    from aline_tpu.utils.tracking import RunTracker
 
     cfg = parse_overrides(DEFAULTS + argv)
     os.makedirs(cfg.output_dir, exist_ok=True)
@@ -79,7 +80,9 @@ def main(argv=None):
                 ro_std = RolloutOutputs(ro.log_probs, ro.nll_query,
                                         ro.nll_pred, None, ro.xs, ro.ys,
                                         None)
-                return total_loss(ro_std, cfg.gamma, alpha)
+                loss, m = total_loss(ro_std, cfg.gamma, alpha)
+                m = dict(m, policy_std=jnp.mean(ro.stds))
+                return loss, m
 
             (loss, m), grads = jax.value_and_grad(loss_fn,
                                                   has_aux=True)(params)
@@ -89,11 +92,24 @@ def main(argv=None):
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    ckpt_path = os.path.join(cfg.output_dir, "ckpt_cont")
+    start_epoch = 0
+    if cfg.load_checkpoint and os.path.exists(
+            os.path.join(ckpt_path, "tree")):
+        state, host = load_checkpoint(
+            ckpt_path, dict(params=params,
+                            key=jax.random.key_data(key)))
+        params = state["params"]
+        key = jax.random.wrap_key_data(state["key"])
+        start_epoch = int(host["epoch"]) if host else 0
+        print(f"resumed from {ckpt_path} at epoch {start_epoch}", flush=True)
+
+    tracker = RunTracker(cfg.output_dir)
     phase = None
     step_fn = opt_state = None
     t0 = time.perf_counter()
     m = {}
-    for epoch in range(cfg.max_epoch):
+    for epoch in range(start_epoch, cfg.max_epoch):
         ph = phase_for_epoch(cfg, epoch)
         if ph != phase:
             phase = ph
@@ -105,15 +121,23 @@ def main(argv=None):
                             jnp.float32)
         params, opt_state, key, m = step_fn(params, opt_state, key, alpha)
         if cfg.verbose and (epoch + 1) % cfg.verbose == 0:
-            rate = (epoch + 1) / (time.perf_counter() - t0)
+            rate = (epoch + 1 - start_epoch) / (time.perf_counter() - t0)
             print(f"epoch {epoch + 1}: loss {float(m['loss']):.4f} "
                   f"LL {float(m['likelihood']):.4f} "
                   f"design {float(m['design_loss']):.4f} "
+                  f"std {float(m['policy_std']):.4f} "
                   f"({rate:.1f} ep/s)", flush=True)
+            tracker.log({k: float(v) for k, v in m.items()}, epoch + 1)
+        if cfg.checkpoint and (epoch + 1) % cfg.checkpoint == 0:
+            save_checkpoint(
+                ckpt_path,
+                dict(params=params, key=jax.random.key_data(key)),
+                dict(epoch=epoch + 1))
 
     final = os.path.join(cfg.output_dir, "model",
                          cfg.file_name.split(".")[0])
     save_checkpoint(final, dict(params=params))
+    tracker.finish()
     print(f"saved {final}", flush=True)
 
     # ---- final sPCE/sNMC from greedy continuous rollouts ---------------

@@ -82,3 +82,28 @@ class TestContinuousRollout:
         pred = [np.abs(np.asarray(v)).sum() for path, v in flat
                 if "predictor" in "/".join(str(p) for p in path)]
         assert sum(pred) > 0
+
+
+class TestPolicyStdClip:
+    def test_config_bounds_exploration_std(self):
+        """head.policy_log_std_min/max bound the rollout's exploration std
+        (guards against the observed failure modes: std collapse to ~0 and
+        saturation at e^2)."""
+        cfg = parse_overrides(["task=location_finding",
+                               "task.n_query_init=1",
+                               "head.policy_log_std_min=-3.0",
+                               "head.policy_log_std_max=0.0"])
+        cfg.head.continuous = True
+        cfg.embedder.continuous = True
+        task = build_task(cfg.task)
+        model = build_model(cfg)
+        key = jax.random.key(0)
+        batch = make_continuous_batch(task, key, B, T)
+        params = model.init(key, batch, training=False)
+        w = jnp.ones((2,)) / 2.0
+        ro = rollout_continuous(model, params, task, batch, T, w, w,
+                                jax.random.key(2), training=True)
+        stds = np.asarray(ro.stds)
+        assert stds.shape == (T, B, 2)
+        assert (stds >= np.exp(-3.0) - 1e-6).all()
+        assert (stds <= np.exp(0.0) + 1e-6).all()
