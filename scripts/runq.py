@@ -254,6 +254,30 @@ LANES["F"] = lambda: (
              "--n-query 2000 --T 30 --with-random-baseline", timeout=7200),
 )
 
+LANES["G"] = lambda: (
+    # continuous-design retrain with the exploration-std clamp (the 50k
+    # run's std saturated at e^2; see scripts/diag_continuous.py)
+    run_step("cont_clamp_train",
+             "python scripts/train_continuous.py max_epoch=30000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 "
+             "head.policy_log_std_min=-3.0 head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_clamp", timeout=10800,
+             stall=1500),
+)
+
+LANES["H"] = lambda: (
+    wait_for("cont_clamp_train"),
+    # DAD baseline trained natively with the pathwise sPCE objective, on
+    # the same location-finding task/protocol as the continuous runs
+    run_step("dad_train",
+             "python scripts/train_dad.py max_epoch=30000 verbose=1000 "
+             "checkpoint=2000 load_checkpoint=true "
+             "output_dir=outputs/dad_loc", timeout=10800, stall=1500),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",

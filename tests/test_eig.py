@@ -249,6 +249,34 @@ class TestEvalEIGFromHistory:
                                     batch_size=2)
         assert np.isfinite(out["pce_mean"]).all()
 
+    def test_dad_pathwise_training_gradient(self, rng_key):
+        """The DAD training objective (scripts/train_dad.py) gets nonzero
+        pathwise gradients through trace → simulate → sPCE loss: the
+        simulator is reparameterized and the emitter is deterministic, so
+        no REINFORCE estimator is needed (Foster et al. 2021)."""
+        from aline_tpu.eval.eig_losses import pce_loss
+        from aline_tpu.models.baselines import (
+            SetEquivariantDesignNetwork, run_trace)
+        task, _ = location_task()
+        net = SetEquivariantDesignNetwork(dim_x=2, dim_y=1, hidden_dim=8,
+                                          encoding_dim=4)
+        params = net.init(rng_key, jnp.zeros((1, 3, 2)),
+                          jnp.zeros((1, 3, 1)), jnp.zeros((1, 3), bool))
+        k_trace, k_contr = jax.random.split(rng_key)
+
+        def loss_fn(p):
+            theta0, xs, ys = run_trace(net, p, task, T=3, M=4, key=k_trace)
+            contr = task.sample_theta(k_contr, (15, 4))
+            thetas = jnp.concatenate([theta0[None], contr], axis=0)
+            return pce_loss(task, ys, xs, thetas)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+        assert total > 0.0
+
 
 class TestEvalMesh2D:
     """2-D (data x contrastive) final-eval mesh (SURVEY.md §5.8)."""
