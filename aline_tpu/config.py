@@ -283,6 +283,19 @@ class Config:
 
     gamma: float = 1.0
     alpha: float = 1.0
+    # Pathwise sPCE design objective for the continuous policy
+    # (scripts/train_continuous.py): weight of the DAD-style PCE loss
+    # computed on the rollout's (differentiable) designs/outcomes with
+    # `pce_L` contrastive thetas. 0 disables (reference behavior: designs
+    # train by REINFORCE only). Exploits what torch's detached rollouts
+    # cannot: the whole scan is reparameterized, so d(sPCE)/d(designs)
+    # flows end-to-end.
+    alpha_pce: float = 0.0
+    pce_L: int = 255
+    # Exploration noise std (normalized design units) added to emitted
+    # designs during pathwise sPCE training (scripts/train_dad.py) —
+    # breaks the deterministic-policy symmetry trap; 0 at evaluation.
+    explore_std: float = 0.0
 
     clip_grads: bool = True
     verbose: int = 500

@@ -132,10 +132,16 @@ class SetEquivariantDesignNetwork(nn.Module):
 
 
 def run_trace(model: SetEquivariantDesignNetwork, params, task, T: int,
-              M: int, key: jax.Array
+              M: int, key: jax.Array, explore_std: float = 0.0
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Roll out M parallel DAD experiments
     (reference: model/mlp.py:91-118): propose design → simulate → append.
+
+    ``explore_std`` adds reparameterized Gaussian noise to each emitted
+    design (normalized units) — used during pathwise sPCE training
+    (scripts/train_dad.py) to break the symmetry trap where a
+    deterministic policy's expected design gradient vanishes at the
+    constant-trajectory initialization; keep 0 for evaluation.
 
     Returns (theta [M, ...], designs-in-design-space [M, T, D],
     outcomes [M, T, 1]).
@@ -145,10 +151,13 @@ def run_trace(model: SetEquivariantDesignNetwork, params, task, T: int,
 
     def step(carry, t):
         xi_hist, y_hist, k = carry
-        k, k_sim = jax.random.split(k)
+        k, k_sim, k_exp = jax.random.split(k, 3)
         valid = jnp.arange(T)[None, :] < t
         xi = model.apply(params, xi_hist, y_hist,
                          jnp.broadcast_to(valid, (M, T)))    # [M, D]
+        if explore_std:
+            xi = xi + explore_std * jax.random.normal(k_exp, xi.shape,
+                                                      xi.dtype)
         y = task.simulate(k_sim, task.unnormalise_design(xi), theta)
         xi_hist = jax.lax.dynamic_update_slice_in_dim(
             xi_hist, xi[:, None], t, axis=1)

@@ -278,6 +278,33 @@ LANES["H"] = lambda: (
              "output_dir=outputs/dad_loc", timeout=10800, stall=1500),
 )
 
+LANES["I"] = lambda: (
+    wait_for("dad_train"),
+    # continuous ALINE head trained with the pathwise sPCE objective
+    # (alpha=0: no REINFORCE; predict_loss still trains the posterior)
+    run_step("cont_pce_train",
+             "python scripts/train_continuous.py max_epoch=30000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=255 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_pce", timeout=10800,
+             stall=1500),
+)
+
+LANES["J"] = lambda: (
+    wait_for("cont_pce_train"),
+    # DAD continued to 130k with exploration noise + bigger batch (the
+    # 30k deterministic run sat in the constant-trajectory symmetry trap)
+    run_step("dad_train2",
+             "python scripts/train_dad.py max_epoch=130000 verbose=2000 "
+             "checkpoint=4000 load_checkpoint=true batch_size=512 "
+             "explore_std=0.2 output_dir=outputs/dad_loc",
+             timeout=14400, stall=1500),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",

@@ -40,6 +40,7 @@ def main(argv=None):
     import optax
 
     from aline_tpu.config import parse_overrides, to_yaml
+    from aline_tpu.eval.eig_losses import pce_loss
     from aline_tpu.models import build_model
     from aline_tpu.tasks import build_task
     from aline_tpu.train.checkpoint import load_checkpoint, save_checkpoint
@@ -68,8 +69,8 @@ def main(argv=None):
     w = jnp.full((n_t,), 1.0 / n_t, jnp.float32)
 
     def make_step(tx):
-        def step(params, opt_state, key, alpha):
-            k_batch, k_roll, k_next = jax.random.split(key, 3)
+        def step(params, opt_state, key, alpha, design_on):
+            k_batch, k_roll, k_contr, k_next = jax.random.split(key, 4)
             batch = make_continuous_batch(task, k_batch, cfg.batch_size, T)
 
             def loss_fn(p):
@@ -82,6 +83,23 @@ def main(argv=None):
                                         None)
                 loss, m = total_loss(ro_std, cfg.gamma, alpha)
                 m = dict(m, policy_std=jnp.mean(ro.stds))
+                if cfg.alpha_pce > 0:
+                    # DAD-style pathwise sPCE: the rollout is fully
+                    # reparameterized (design sampling + simulator), so the
+                    # PCE loss differentiates end-to-end through the scan.
+                    xs_bt = task.to_design_space(
+                        jnp.swapaxes(ro.xs, 0, 1))           # [B, T, D]
+                    ys_bt = jnp.swapaxes(ro.ys, 0, 1)        # [B, T, 1]
+                    contr = task.sample_theta(
+                        k_contr, (cfg.pce_L, cfg.batch_size))
+                    thetas = jnp.concatenate(
+                        [batch.theta[None], contr], axis=0)
+                    l_pce = pce_loss(task, ys_bt, xs_bt, thetas)
+                    # design_on gates design training (0 in burning phase),
+                    # independently of the REINFORCE weight alpha
+                    loss = loss + design_on * cfg.alpha_pce * l_pce
+                    m = dict(m, loss=loss, pce_loss=l_pce,
+                             spce_train=jnp.log(cfg.pce_L + 1.0) - l_pce)
                 return loss, m
 
             (loss, m), grads = jax.value_and_grad(loss_fn,
@@ -119,7 +137,10 @@ def main(argv=None):
             print(f"epoch {epoch}: phase -> {phase}", flush=True)
         alpha = jnp.asarray(0.0 if phase == "burning" else cfg.alpha,
                             jnp.float32)
-        params, opt_state, key, m = step_fn(params, opt_state, key, alpha)
+        design_on = jnp.asarray(0.0 if phase == "burning" else 1.0,
+                                jnp.float32)
+        params, opt_state, key, m = step_fn(params, opt_state, key, alpha,
+                                            design_on)
         if cfg.verbose and (epoch + 1) % cfg.verbose == 0:
             rate = (epoch + 1 - start_epoch) / (time.perf_counter() - t0)
             print(f"epoch {epoch + 1}: loss {float(m['loss']):.4f} "

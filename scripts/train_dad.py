@@ -71,7 +71,8 @@ def main(argv=None):
         k_trace, k_contr, k_next = jax.random.split(key, 3)
 
         def loss_fn(p):
-            theta0, xs, ys = run_trace(model, p, task, T, B, k_trace)
+            theta0, xs, ys = run_trace(model, p, task, T, B, k_trace,
+                                       explore_std=cfg.explore_std)
             contr = task.sample_theta(k_contr, (L, B))
             thetas = jnp.concatenate([theta0[None], contr], axis=0)
             return pce_loss(task, ys, xs, thetas)
