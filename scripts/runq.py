@@ -305,6 +305,23 @@ LANES["J"] = lambda: (
              timeout=14400, stall=1500),
 )
 
+LANES["K"] = lambda: (
+    wait_for("dad_train2"),
+    # extend the pathwise-PCE continuous run with a larger contrastive
+    # pool: at pce_L=255 the training bound ceiling log(256)=5.55 binds
+    # (train sPCE sat at ~5.5 while eval L=1e6 showed 7.48)
+    run_step("cont_pce_60k",
+             "python scripts/train_continuous.py max_epoch=60000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=2047 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_pce", timeout=14400,
+             stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
