@@ -322,6 +322,35 @@ LANES["K"] = lambda: (
              stall=1800),
 )
 
+LANES["L"] = lambda: (
+    wait_for("cont_pce_60k"),
+    # fresh DAD attempt: strong exploration noise from scratch (the
+    # resumed run could not escape the constant-trajectory optimum)
+    run_step("dad_fresh",
+             "python scripts/train_dad.py max_epoch=60000 verbose=2000 "
+             "checkpoint=4000 load_checkpoint=true batch_size=512 "
+             "lr=3e-4 explore_std=0.5 output_dir=outputs/dad_loc_v2",
+             timeout=10800, stall=1500),
+)
+
+LANES["M"] = lambda: (
+    wait_for("dad_fresh"),
+    # careful pce_L=2047 extension: warm-start from the good 30k params
+    # (snapshot), gentle constant-ish lr — the naive resume at cosine-
+    # start lr 1e-3 with reset Adam state destroyed the 30k optimum
+    run_step("cont_pce_ext",
+             "python scripts/train_continuous.py max_epoch=20000 "
+             "burning_epoch=0 verbose=1000 checkpoint=2000 "
+             "load_path=outputs/snapshots/cont_pce_30k_params "
+             "lr=2e-4 dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=2047 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_pce_ext",
+             timeout=14400, stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",

@@ -112,7 +112,14 @@ def main(argv=None):
 
     ckpt_path = os.path.join(cfg.output_dir, "ckpt_cont")
     start_epoch = 0
-    if cfg.load_checkpoint and os.path.exists(
+    if cfg.load_path:
+        # warm-start params only (fresh optimizer/schedule/epoch count)
+        # from a saved model checkpoint, e.g. a previous run's final
+        # model/aline_cont
+        state, _ = load_checkpoint(cfg.load_path, dict(params=params))
+        params = state["params"]
+        print(f"warm-started params from {cfg.load_path}", flush=True)
+    elif cfg.load_checkpoint and os.path.exists(
             os.path.join(ckpt_path, "tree")):
         state, host = load_checkpoint(
             ckpt_path, dict(params=params,
