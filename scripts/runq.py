@@ -351,6 +351,22 @@ LANES["M"] = lambda: (
              timeout=14400, stall=1800),
 )
 
+LANES["N"] = lambda: (
+    wait_for("cont_pce_ext"),
+    # DAD legs 2+3: continue with annealed exploration noise (0.5 got it
+    # out of the symmetry trap: train sPCE 1.0 -> 4.6 over 60k)
+    run_step("dad_200k",
+             "python scripts/train_dad.py max_epoch=200000 verbose=4000 "
+             "checkpoint=8000 load_checkpoint=true batch_size=512 "
+             "lr=3e-4 explore_std=0.3 output_dir=outputs/dad_loc_v2",
+             timeout=10800, stall=1500),
+    run_step("dad_300k",
+             "python scripts/train_dad.py max_epoch=300000 verbose=4000 "
+             "checkpoint=8000 load_checkpoint=true batch_size=512 "
+             "lr=1e-4 explore_std=0.15 output_dir=outputs/dad_loc_v2",
+             timeout=10800, stall=1500),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
