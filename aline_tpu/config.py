@@ -280,6 +280,10 @@ class Config:
 
     optimizer: str = "AdamW"
     lr: float = 1e-3
+    # Linear 0→lr warmup steps prepended to the cosine schedule (0 =
+    # reference behavior). Use when warm-starting from trained params:
+    # fresh Adam moments at full lr otherwise jolt the loaded optimum.
+    lr_warmup: int = 0
 
     gamma: float = 1.0
     alpha: float = 1.0

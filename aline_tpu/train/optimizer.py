@@ -44,9 +44,16 @@ def clip_by_inf_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def _cosine(lr: float, decay_steps: int) -> optax.Schedule:
+def _cosine(lr: float, decay_steps: int, warmup: int = 0) -> optax.Schedule:
     """torch CosineAnnealingLR with eta_min=0:
-    lr_t = lr * (1 + cos(pi * t / T_max)) / 2."""
+    lr_t = lr * (1 + cos(pi * t / T_max)) / 2.
+
+    ``warmup`` > 0 prepends a linear 0→lr ramp (not in the reference;
+    used when warm-starting from trained params, where fresh Adam
+    moments at full lr jolt the params off the loaded optimum)."""
+    if warmup > 0:
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, max(decay_steps, warmup + 1))
     return optax.cosine_decay_schedule(lr, max(decay_steps, 1), alpha=0.0)
 
 
@@ -73,14 +80,15 @@ def build_optimizer(cfg, params, phase: str
         raise ValueError(f"unsupported optimizer {cfg.optimizer!r}")
     clip = (clip_by_inf_norm(1.0) if cfg.clip_grads
             else optax.identity())
+    warmup = int(getattr(cfg, "lr_warmup", 0))
     if phase == "burning":
-        sched = _cosine(cfg.lr, cfg.max_epoch)
+        sched = _cosine(cfg.lr, cfg.max_epoch, warmup)
         tx = optax.chain(clip, optax.adamw(sched, **_ADAMW_KW))
         return tx, sched
     if phase == "main":
         steps = cfg.max_epoch - cfg.burning_epoch
-        sched_pred = _cosine(cfg.lr, steps)
-        sched_shared = _cosine(cfg.lr / 5.0, steps)
+        sched_pred = _cosine(cfg.lr, steps, warmup)
+        sched_shared = _cosine(cfg.lr / 5.0, steps, warmup)
         tx = optax.chain(clip, optax.multi_transform(
             {"predictor": optax.adamw(sched_pred, **_ADAMW_KW),
              "shared": optax.adamw(sched_shared, **_ADAMW_KW)},

@@ -367,6 +367,24 @@ LANES["N"] = lambda: (
              timeout=10800, stall=1500),
 )
 
+LANES["O"] = lambda: (
+    wait_for("dad_300k"),
+    # pce_L=2047 extension, take 3: warm start + linear lr warmup so the
+    # fresh Adam moments cannot jolt the loaded 7.48-sPCE optimum (take 2
+    # at constant lr=2e-4 dropped LL 2.38->1.05 in the first 1k epochs)
+    run_step("cont_pce_ext2",
+             "python scripts/train_continuous.py max_epoch=25000 "
+             "burning_epoch=0 verbose=1000 checkpoint=2000 "
+             "load_path=outputs/snapshots/cont_pce_30k_params "
+             "lr=2e-4 lr_warmup=3000 dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=2047 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_pce_ext2",
+             timeout=14400, stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
