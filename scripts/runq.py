@@ -385,6 +385,17 @@ LANES["O"] = lambda: (
              timeout=14400, stall=1800),
 )
 
+LANES["P"] = lambda: (
+    wait_for("cont_pce_ext2"),
+    # final DAD polish: tiny noise + low lr (greedy eval trails the noisy
+    # train bound — the mean must take over as noise anneals)
+    run_step("dad_polish",
+             "python scripts/train_dad.py max_epoch=350000 verbose=4000 "
+             "checkpoint=8000 load_checkpoint=true batch_size=512 "
+             "lr=5e-5 explore_std=0.05 output_dir=outputs/dad_loc_v2",
+             timeout=7200, stall=1500),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
