@@ -396,6 +396,28 @@ LANES["P"] = lambda: (
              timeout=7200, stall=1500),
 )
 
+LANES["Q"] = lambda: (
+    run_step("dad_polish2",
+             "python scripts/train_dad.py max_epoch=400000 verbose=4000 "
+             "checkpoint=8000 load_checkpoint=true batch_size=512 "
+             "lr=2e-5 explore_std=0.02 output_dir=outputs/dad_loc_v2",
+             timeout=7200, stall=1500),
+    # basin-preserving lr for the pce_L=2047 extension: the 7.48 optimum
+    # was reached as the cosine annealed to ~0; any lr >= 2e-4 re-heats
+    # out of the basin (takes 2 and 3), so stay at 3e-5
+    run_step("cont_pce_ext3",
+             "python scripts/train_continuous.py max_epoch=20000 "
+             "burning_epoch=0 verbose=1000 checkpoint=2000 "
+             "load_path=outputs/snapshots/cont_pce_30k_params "
+             "lr=3e-5 lr_warmup=2000 dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=2047 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_continuous_r3_pce_ext3",
+             timeout=10800, stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
