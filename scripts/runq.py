@@ -418,6 +418,35 @@ LANES["Q"] = lambda: (
              timeout=10800, stall=1800),
 )
 
+LANES["R"] = lambda: (
+    wait_for("cont_pce_ext3"),
+    # fresh from-scratch pathwise run with the large contrastive pool and
+    # a full cosine anneal (no warm-start hazards); own output dir
+    run_step("cont_pce_fresh2047",
+             "python scripts/train_continuous.py max_epoch=40000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=2047 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_cont_pce2047_fresh", timeout=14400,
+             stall=1800),
+    # exact reproduction of the pce_L=255 30k recipe in its own dir (the
+    # original's final params were overwritten by a later run sharing the
+    # directory); same seed => same stream => same result
+    run_step("cont_pce_repro",
+             "python scripts/train_continuous.py max_epoch=30000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=255 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_cont_pce255_repro", timeout=10800,
+             stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
