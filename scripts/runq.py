@@ -447,6 +447,23 @@ LANES["R"] = lambda: (
              stall=1800),
 )
 
+LANES["S"] = lambda: (
+    wait_for("cont_pce_repro"),
+    # push the training-bound ceiling past the discrete policy's 8.87:
+    # log(8192)=9.01 (the 2047 run's train bound sat at its 7.62 ceiling
+    # while eval reached 7.63)
+    run_step("cont_pce_8191",
+             "python scripts/train_continuous.py max_epoch=50000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=8191 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_cont_pce8191_fresh", timeout=14400,
+             stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
