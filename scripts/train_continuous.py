@@ -112,6 +112,7 @@ def main(argv=None):
 
     ckpt_path = os.path.join(cfg.output_dir, "ckpt_cont")
     start_epoch = 0
+    tx = opt_state = None
     if cfg.load_path:
         # warm-start params only (fresh optimizer/schedule/epoch count)
         # from a saved model checkpoint, e.g. a previous run's final
@@ -121,17 +122,36 @@ def main(argv=None):
         print(f"warm-started params from {cfg.load_path}", flush=True)
     elif cfg.load_checkpoint and os.path.exists(
             os.path.join(ckpt_path, "tree")):
-        state, host = load_checkpoint(
-            ckpt_path, dict(params=params,
-                            key=jax.random.key_data(key)))
+        # peek the host-side epoch to know which phase's optimizer
+        # structure the checkpoint holds (burning vs main differ)
+        import pickle
+        host_pkl = os.path.join(ckpt_path, "host_state.pkl")
+        saved_epoch = 0
+        if os.path.exists(host_pkl):
+            with open(host_pkl, "rb") as f:
+                saved_epoch = int(pickle.load(f)["epoch"])
+        ph0 = phase_for_epoch(cfg, saved_epoch)
+        tx0, _ = build_optimizer(cfg, params, ph0)
+        template = dict(params=params, key=jax.random.key_data(key),
+                        opt_state=tx0.init(params))
+        try:
+            state, host = load_checkpoint(ckpt_path, template)
+            tx, opt_state = tx0, state["opt_state"]
+        except Exception:
+            # older checkpoints lack opt_state — params+key only, the
+            # optimizer restarts (Adam moments lost)
+            state, host = load_checkpoint(
+                ckpt_path, dict(params=params,
+                                key=jax.random.key_data(key)))
         params = state["params"]
         key = jax.random.wrap_key_data(state["key"])
         start_epoch = int(host["epoch"]) if host else 0
-        print(f"resumed from {ckpt_path} at epoch {start_epoch}", flush=True)
+        print(f"resumed from {ckpt_path} at epoch {start_epoch}"
+              f" (opt_state {'restored' if tx else 'reset'})", flush=True)
 
     tracker = RunTracker(cfg.output_dir)
-    phase = None
-    step_fn = opt_state = None
+    phase = phase_for_epoch(cfg, start_epoch) if tx else None
+    step_fn = make_step(tx) if tx else None
     t0 = time.perf_counter()
     m = {}
     for epoch in range(start_epoch, cfg.max_epoch):
@@ -159,7 +179,8 @@ def main(argv=None):
         if cfg.checkpoint and (epoch + 1) % cfg.checkpoint == 0:
             save_checkpoint(
                 ckpt_path,
-                dict(params=params, key=jax.random.key_data(key)),
+                dict(params=params, key=jax.random.key_data(key),
+                     opt_state=opt_state),
                 dict(epoch=epoch + 1))
 
     final = os.path.join(cfg.output_dir, "model",
