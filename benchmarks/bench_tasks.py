@@ -84,6 +84,8 @@ def bench_one(name, overrides):
 
 
 def main():
+    from bench import wait_for_backend
+    wait_for_backend()
     import jax
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else list(CONFIGS)
     log(f"bench devices: {jax.devices()}")
