@@ -464,6 +464,28 @@ LANES["S"] = lambda: (
              stall=1800),
 )
 
+def _hpo_space(space):
+    """Train + eval one HPO-B surrogate search space (the svm recipe)."""
+    run_step(f"hpo_{space}_train",
+             f"python train.py task=hpo task.meta_dataset={space} min_T=30 "
+             "T=30 max_epoch=15000 burning_epoch=3000 head.std_min=0.05 "
+             "dtype=bfloat16 checkpoint=1000 verbose=500 "
+             f"load_checkpoint=true file_name=aline_hpo_{space}.pth "
+             f"output_dir=outputs/hpo_r3_{space}", timeout=10800)
+    run_step(f"hpo_{space}_eval",
+             f"python scripts/eval_hpo.py outputs/hpo_r3_{space} "
+             f"--file-name aline_hpo_{space} --T 30 --n-query 100 "
+             "--n-target 100 --seeds 0,1,2", timeout=3600)
+
+
+LANES["T"] = lambda: (
+    # remaining three HPO-B search spaces (reference: tasks/hpo.py:128
+    # lists {ranger, glmnet, svm, rpart, xgboost}; ranger+svm done)
+    _hpo_space("glmnet"),
+    _hpo_space("rpart"),
+    _hpo_space("xgboost"),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",

@@ -19,5 +19,6 @@ print(float((x @ x).sum()))
 done
 sleep 10
 python scripts/runq.py D >> /tmp/tpu_gate.log 2>&1
+python scripts/runq.py T >> /tmp/tpu_gate.log 2>&1
 python scripts/runq.py S >> /tmp/tpu_gate.log 2>&1
-echo "[gate] $(date) lanes D+S complete" >> /tmp/tpu_gate.log
+echo "[gate] $(date) lanes D+T+S complete" >> /tmp/tpu_gate.log
