@@ -22,42 +22,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def wait_for_backend(budget_s=900, probe_timeout=240):
-    """Ride out transient axon-tunnel outages before the real attach.
-
-    The tunnel relay can be briefly down or wedge a new client at attach
-    time (observed round 3: every probe hangs at ~0% CPU). A failed attach
-    in-process poisons jax's backend cache for the whole run, so probe in
-    a SUBPROCESS with a hard timeout and only proceed once one succeeds.
-    Gives up after ``budget_s`` and lets the real attach produce the
-    actual error.
-    """
-    import subprocess
-    if os.environ.get("ALINE_PLATFORM") == "cpu":
-        return
-    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
-             "print(float((x @ x).sum()))")
-    deadline = time.time() + budget_s
-    attempt = 0
-    while True:
-        try:
-            subprocess.run([sys.executable, "-c", probe],
-                           timeout=probe_timeout, check=True,
-                           stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-            if attempt:
-                log(f"backend probe recovered after {attempt} retries")
-            return
-        except (subprocess.TimeoutExpired,
-                subprocess.CalledProcessError) as e:
-            attempt += 1
-            if time.time() >= deadline:
-                log(f"backend probe still failing after {budget_s}s "
-                    f"({type(e).__name__}); attempting the real attach")
-                return
-            log(f"backend probe failed ({type(e).__name__}), retry "
-                f"{attempt} in 30s")
-            time.sleep(30)
+from aline_tpu.utils.preflight import wait_for_backend  # noqa: E402
 
 
 def main():

@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from aline_tpu.utils.preflight import wait_for_backend
+    wait_for_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--file-name", default="aline")

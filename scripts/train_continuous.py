@@ -33,6 +33,8 @@ DEFAULTS = [
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    from aline_tpu.utils.preflight import wait_for_backend
+    wait_for_backend()
 
     import jax
     import jax.numpy as jnp

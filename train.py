@@ -22,6 +22,8 @@ import jax
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     from aline_tpu.config import parse_overrides, to_yaml
+    from aline_tpu.utils.preflight import wait_for_backend
+    wait_for_backend()
     cfg = parse_overrides(argv)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
