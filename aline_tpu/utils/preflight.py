@@ -19,21 +19,37 @@ _PROBE = ("import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
           "print(float((x @ x).sum()))")
 
 
+def _host_pinned() -> bool:
+    """True when the caller pinned a host (non-TPU) platform, so there is
+    no remote backend to wait for: either via ALINE_PLATFORM (an EMPTY
+    value means "no pin" — see aline_tpu/__init__.py) or via jax.config
+    directly (the test conftest does; the JAX_PLATFORMS env var is
+    overridden by the host's sitecustomize so it is NOT a reliable
+    signal)."""
+    pin = os.environ.get("ALINE_PLATFORM")
+    if pin and pin not in ("axon", "tpu"):
+        return True
+    jaxmod = sys.modules.get("jax")
+    if jaxmod is not None:
+        cfg_pin = getattr(jaxmod.config, "jax_platforms", None)
+        if cfg_pin and not any(t in cfg_pin for t in ("axon", "tpu")):
+            return True
+    return False
+
+
 def wait_for_backend(budget_s: float = 900, probe_timeout: float = 240,
                      log=None) -> bool:
     """Block until a subprocess can run a tiny matmul on the backend.
 
     Returns True if a probe succeeded, False if the budget ran out.
-    No-op (True) when ALINE_PLATFORM pins a host platform (an EMPTY
-    value means "no pin" — see aline_tpu/__init__.py — so it still
-    probes; the probe subprocess inherits the env either way, so it
-    exercises exactly the platform the caller will attach to).
+    No-op (True) when a host platform is pinned (see ``_host_pinned``);
+    the probe subprocess inherits the env, so it exercises exactly the
+    platform the caller will attach to.
     """
     if log is None:
         def log(*a):
             print(*a, file=sys.stderr, flush=True)
-    pin = os.environ.get("ALINE_PLATFORM")
-    if pin and pin not in ("axon", "tpu"):
+    if _host_pinned():
         return True
     deadline = time.time() + budget_s
     attempt = 0
