@@ -486,6 +486,37 @@ LANES["T"] = lambda: (
     _hpo_space("xgboost"),
 )
 
+def _seed_variance(seed):
+    """Train + eval one 5k-epoch GP-AL-1D run for the training-seed
+    variance study on *final eval* metrics (round-2 VERDICT weak #6).
+    The previous stint's seed8/seed9 checkpoints did not survive the
+    host reset (outputs/ is not committed), so all three retrain."""
+    run_step(f"seed{seed}_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             f"min_T=30 T=30 max_epoch=5000 burning_epoch=1000 seed={seed} "
+             "dtype=bfloat16 checkpoint=2500 verbose=1000 "
+             "load_checkpoint=true file_name=aline.pth "
+             f"output_dir=outputs/al1d_seed{seed}", timeout=5400, stall=1500)
+    run_step(f"seed{seed}_eval",
+             f"python scripts/eval_al.py outputs/al1d_seed{seed} "
+             "--file-name aline --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0", timeout=3600, stall=1500)
+
+
+LANES["Z"] = lambda: (
+    # this session's remainder: bench tables first (they need a quiet
+    # host — single core), then the seed-variance study
+    run_step("bench_tasks", "python benchmarks/bench_tasks.py",
+             timeout=5400, stall=1500),
+    run_step("bench_knobs", "python benchmarks/bench_rollout_knobs.py",
+             timeout=3600, stall=1500),
+    _seed_variance(8),
+    _seed_variance(9),
+    _seed_variance(10),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
