@@ -517,6 +517,49 @@ LANES["Z"] = lambda: (
     _seed_variance(10),
 )
 
+LANES["U"] = lambda: (
+    # full-reference-budget runs for the three cheap configs (the host
+    # reset wiped outputs/, so these retrain from scratch — at the
+    # measured per-task rates that is ~50-80 min each). train.py runs
+    # the full-protocol final eval (M=2000) at training end, producing
+    # the artifact-of-record policy bounds; the matched random baselines
+    # (ces_r3_random / loc_r3_random) remain valid.
+    wait_for("seed10_eval"),
+    run_step("ces_full_train",
+             "python train.py task=ces lr=1e-3 T=10 task.n_query_init=200 "
+             "max_epoch=200000 burning_epoch=20000 eval=bed "
+             "eval.batch_size=500 eval.L_final=10000000 "
+             "eval.batch_size_final=20 eval.n_query_final=2000 "
+             "eval.T_final=15 dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true file_name=aline_ces.pth "
+             "output_dir=outputs/ces_r4_full", timeout=21600, stall=3600),
+    run_step("loc_full_train",
+             "python train.py task=location_finding task.theta_dist=uniform "
+             "task.n_target_theta=2 task.K=1 lr=1e-3 T=30 "
+             "task.n_query_init=200 max_epoch=100000 burning_epoch=20000 "
+             "eval=bed eval.batch_size=1000 eval.L_final=1000000 "
+             "eval.batch_size_final=200 eval.n_query_final=2000 "
+             "eval.T_final=35 dtype=bfloat16 checkpoint=2000 verbose=2000 "
+             "load_checkpoint=true file_name=aline_loc.pth "
+             "output_dir=outputs/loc_r4_full", timeout=18000, stall=3600),
+    run_step("psych_full_train",
+             "python train.py task=psychometric task.mask_type=[predefined] "
+             '"task.predefined_masks=[[false,false,true,true],'
+             '[true,true,false,false],[true,true,true,true]]" '
+             '"task.predefined_mask_weights=[1,1,1]" min_T=30 T=30 '
+             "gamma=0.99 max_epoch=100000 burning_epoch=10000 "
+             "dtype=bfloat16 checkpoint=2000 verbose=2000 "
+             "load_checkpoint=true file_name=aline_psych.pth "
+             "output_dir=outputs/psych_r4_full", timeout=10800, stall=1800),
+    run_step("psych_full_eval",
+             "python scripts/eval_psychometric.py outputs/psych_r4_full "
+             "--file-name aline_psych --seeds 0,1,2", timeout=3600),
+    # all five reference HPO-B search spaces (ranger+svm already trained)
+    _hpo_space("glmnet"),
+    _hpo_space("rpart"),
+    _hpo_space("xgboost"),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
