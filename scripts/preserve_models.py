@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Snapshot trained model parameters into the committed checkpoints/ tree.
+
+outputs/ does not survive host resets (learned the hard way: the round-3
+reset destroyed every round-2/3 trained model; only the eval artifacts in
+benchmarks/artifacts/ lived on in git). Final param snapshots of this
+model are ~450 KB each, so the flagship models belong in git.
+
+Usage:
+    python scripts/preserve_models.py RUN_DIR MODEL_NAME DEST_NAME ["note"]
+
+e.g.  python scripts/preserve_models.py outputs/ces_r4_full aline_ces \
+          ces_200k "CES full reference budget (200k epochs, bf16)"
+
+Copies outputs/RUN_DIR/model/MODEL_NAME -> checkpoints/DEST_NAME plus the
+run's resolved config.json, and appends a line to checkpoints/MANIFEST.md.
+Loading a preserved model:
+    from aline_tpu.utils.serialization import load_config_and_model
+    cfg, model, params = load_config_and_model("checkpoints/ces_200k")
+(checkpoints/DEST_NAME is laid out like a run dir: config.json +
+model/MODEL_NAME, so the normal loader works unchanged.)
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main():
+    run_dir, model_name, dest_name = sys.argv[1:4]
+    note = sys.argv[4] if len(sys.argv) > 4 else ""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src_model = os.path.join(repo, run_dir, "model", model_name)
+    src_cfg = os.path.join(repo, run_dir, "config.json")
+    if not os.path.isdir(src_model):
+        sys.exit(f"no model dir at {src_model}")
+    dest = os.path.join(repo, "checkpoints", dest_name)
+    os.makedirs(os.path.join(dest, "model"), exist_ok=True)
+    dst_model = os.path.join(dest, "model", model_name)
+    if os.path.exists(dst_model):
+        shutil.rmtree(dst_model)
+    shutil.copytree(src_model, dst_model)
+    if os.path.exists(src_cfg):
+        shutil.copy2(src_cfg, os.path.join(dest, "config.json"))
+
+    manifest = os.path.join(repo, "checkpoints", "MANIFEST.md")
+    fresh = not os.path.exists(manifest)
+    with open(manifest, "a") as f:
+        if fresh:
+            f.write("# Preserved trained models\n\n"
+                    "| name | source run | model file | preserved | note |\n"
+                    "|---|---|---|---|---|\n")
+        f.write(f"| {dest_name} | {run_dir} | {model_name} | "
+                f"{time.strftime('%Y-%m-%d %H:%M')} | {note} |\n")
+    n_bytes = sum(os.path.getsize(os.path.join(d, x))
+                  for d, _, xs in os.walk(dest) for x in xs)
+    print(f"preserved {run_dir}/model/{model_name} -> checkpoints/"
+          f"{dest_name} ({n_bytes / 1024:.0f} KB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -526,10 +526,14 @@ LANES["U"] = lambda: (
     # (ces_r3_random / loc_r3_random) remain valid.
     wait_for("seed10_eval"),
     run_step("ces_full_train",
+             # batch_size_final=100 (reference recipe says 20, a GPU-memory
+             # workaround; the protocol is (M, L, T, n_query) and outer
+             # batching only groups independent rollouts — 5x fewer outer
+             # iterations cuts hours off the M=2000 x L=1e7 final eval)
              "python train.py task=ces lr=1e-3 T=10 task.n_query_init=200 "
              "max_epoch=200000 burning_epoch=20000 eval=bed "
              "eval.batch_size=500 eval.L_final=10000000 "
-             "eval.batch_size_final=20 eval.n_query_final=2000 "
+             "eval.batch_size_final=100 eval.n_query_final=2000 "
              "eval.T_final=15 dtype=bfloat16 checkpoint=4000 verbose=2000 "
              "load_checkpoint=true file_name=aline_ces.pth "
              "output_dir=outputs/ces_r4_full", timeout=21600, stall=3600),
