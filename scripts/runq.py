@@ -558,10 +558,28 @@ LANES["U"] = lambda: (
     run_step("psych_full_eval",
              "python scripts/eval_psychometric.py outputs/psych_r4_full "
              "--file-name aline_psych --seeds 0,1,2", timeout=3600),
+    run_step("preserve_full",
+             "python scripts/preserve_models.py outputs/ces_r4_full "
+             "aline_ces ces_200k 'CES full reference budget (200k, bf16)' "
+             "&& python scripts/preserve_models.py outputs/loc_r4_full "
+             "aline_loc loc_100k "
+             "'location finding full reference budget (100k, bf16)' "
+             "&& python scripts/preserve_models.py outputs/psych_r4_full "
+             "aline_psych psych_100k "
+             "'psychometric 3-mask full reference budget (100k, bf16)'",
+             timeout=600, watch=False),
     # all five reference HPO-B search spaces (ranger+svm already trained)
     _hpo_space("glmnet"),
     _hpo_space("rpart"),
     _hpo_space("xgboost"),
+    run_step("preserve_hpo",
+             "python scripts/preserve_models.py outputs/hpo_r3_glmnet "
+             "aline_hpo_glmnet hpo_glmnet_15k 'HPO-B glmnet surrogate' "
+             "&& python scripts/preserve_models.py outputs/hpo_r3_rpart "
+             "aline_hpo_rpart hpo_rpart_15k 'HPO-B rpart surrogate' "
+             "&& python scripts/preserve_models.py outputs/hpo_r3_xgboost "
+             "aline_hpo_xgboost hpo_xgboost_15k 'HPO-B xgboost surrogate'",
+             timeout=600, watch=False),
 )
 
 LANES["E"] = lambda: (
