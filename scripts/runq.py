@@ -582,6 +582,24 @@ LANES["U"] = lambda: (
              timeout=600, watch=False),
 )
 
+LANES["V"] = lambda: (
+    # best-effort tail: the flagship GP-AL-1D at the FULL reference
+    # budget (200k; reference README.md:35), exact recipe + default seed
+    # so it deterministically reproduces the 100k-epoch artifact-of-
+    # record trajectory on the way. Runs until the round ends; resumes
+    # from its checkpoint next round if outputs/ survives.
+    wait_for("preserve_hpo"),
+    run_step("al1d_full_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=200000 burning_epoch=20000 "
+             "dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+             "file_name=aline_al_1d.pth output_dir=outputs/al1d_r4_full",
+             timeout=86400, stall=1800),
+)
+
 LANES["E"] = lambda: (
     wait_for("hpo_train"),  # don't add a third client while two trainers run
     run_step("psych_r2_reeval",
