@@ -34,7 +34,17 @@ DEFAULT_RUNS = [
 
 
 def analyze(run_dir, label, ref_epochs, ref_line):
-    path = os.path.join(run_dir, "metrics.jsonl")
+    if run_dir.endswith(".jsonl"):
+        path = run_dir
+    else:
+        path = os.path.join(run_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            # run dirs don't survive host resets; fall back to the
+            # committed trajectory copy in benchmarks/artifacts/
+            alt = os.path.join("benchmarks", "artifacts",
+                               os.path.basename(run_dir) + "_metrics.jsonl")
+            if os.path.exists(alt):
+                path = alt
     if not os.path.exists(path):
         return None
     steps, ll = [], []
