@@ -537,6 +537,13 @@ LANES["U"] = lambda: (
              "eval.T_final=15 dtype=bfloat16 checkpoint=4000 verbose=2000 "
              "load_checkpoint=true file_name=aline_ces.pth "
              "output_dir=outputs/ces_r4_full", timeout=21600, stall=3600),
+    # preserve immediately after each train — outputs/ does not survive
+    # host resets, and waiting for all three trains cost us round-2's
+    # models once already
+    run_step("preserve_ces_full",
+             "python scripts/preserve_models.py outputs/ces_r4_full "
+             "aline_ces ces_200k 'CES full reference budget (200k, bf16)'",
+             timeout=600, watch=False),
     run_step("loc_full_train",
              "python train.py task=location_finding task.theta_dist=uniform "
              "task.n_target_theta=2 task.K=1 lr=1e-3 T=30 "
@@ -546,6 +553,11 @@ LANES["U"] = lambda: (
              "eval.T_final=35 dtype=bfloat16 checkpoint=2000 verbose=2000 "
              "load_checkpoint=true file_name=aline_loc.pth "
              "output_dir=outputs/loc_r4_full", timeout=18000, stall=3600),
+    run_step("preserve_loc_full",
+             "python scripts/preserve_models.py outputs/loc_r4_full "
+             "aline_loc loc_100k "
+             "'location finding full reference budget (100k, bf16)'",
+             timeout=600, watch=False),
     run_step("psych_full_train",
              "python train.py task=psychometric task.mask_type=[predefined] "
              '"task.predefined_masks=[[false,false,true,true],'
@@ -555,19 +567,14 @@ LANES["U"] = lambda: (
              "dtype=bfloat16 checkpoint=2000 verbose=2000 "
              "load_checkpoint=true file_name=aline_psych.pth "
              "output_dir=outputs/psych_r4_full", timeout=10800, stall=1800),
-    run_step("psych_full_eval",
-             "python scripts/eval_psychometric.py outputs/psych_r4_full "
-             "--file-name aline_psych --seeds 0,1,2", timeout=3600),
-    run_step("preserve_full",
-             "python scripts/preserve_models.py outputs/ces_r4_full "
-             "aline_ces ces_200k 'CES full reference budget (200k, bf16)' "
-             "&& python scripts/preserve_models.py outputs/loc_r4_full "
-             "aline_loc loc_100k "
-             "'location finding full reference budget (100k, bf16)' "
-             "&& python scripts/preserve_models.py outputs/psych_r4_full "
+    run_step("preserve_psych_full",
+             "python scripts/preserve_models.py outputs/psych_r4_full "
              "aline_psych psych_100k "
              "'psychometric 3-mask full reference budget (100k, bf16)'",
              timeout=600, watch=False),
+    run_step("psych_full_eval",
+             "python scripts/eval_psychometric.py outputs/psych_r4_full "
+             "--file-name aline_psych --seeds 0,1,2", timeout=3600),
     # all five reference HPO-B search spaces (ranger+svm already trained)
     _hpo_space("glmnet"),
     _hpo_space("rpart"),
