@@ -21,6 +21,10 @@ import numpy as np
 
 # (run_dir, config label, reference-recipe epochs, reference README line)
 DEFAULT_RUNS = [
+    ("outputs/al1d_r4_full", "GP-AL-1D full budget", 200_000, "README.md:35"),
+    ("outputs/ces_r4_full", "CES full budget", 200_000, "README.md:50"),
+    ("outputs/loc_r4_full", "loc finding full budget", 100_000, "README.md:45"),
+    ("outputs/psych_r4_full", "psychometric full budget", 100_000, "README.md:55"),
     ("outputs/al1d_r3_bf16", "GP-AL-1D (al_mix dx=1)", 200_000, "README.md:35"),
     ("outputs/al1d_r2_bf16", "GP-AL-1D r2 (60k)", 200_000, "README.md:35"),
     ("outputs/al2d_r3_bf16", "GP-AL-2D (al_mix dx=2)", 200_000, "README.md:40"),
