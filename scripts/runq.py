@@ -45,6 +45,17 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
     if os.path.exists(marker):
         print(f"[runq] skip {name} (marker exists)", flush=True)
         return
+    # RUNQ_DEADLINE (unix ts): drain the queue before the round-end
+    # driver benchmark needs a quiet chip. Steps that don't fit are
+    # skipped WITHOUT a marker so they resume next round; running steps
+    # are capped so they checkpoint-stop in time.
+    deadline = float(os.environ.get("RUNQ_DEADLINE", "inf"))
+    remaining = deadline - time.time()
+    if remaining < 900:
+        print(f"[runq] skip {name} (deadline: {remaining:.0f}s left)",
+              flush=True)
+        return
+    timeout = min(timeout, remaining - 300)
     log = f"/tmp/runq_{name}.log"
     status = "failed"
     for attempt in range(retries):
