@@ -586,6 +586,9 @@ LANES["U"] = lambda: (
     run_step("psych_full_eval",
              "python scripts/eval_psychometric.py outputs/psych_r4_full "
              "--file-name aline_psych --seeds 0,1,2", timeout=3600),
+    # batch-scaling throughput study (roofline follow-up; ~15 min)
+    run_step("bench_batch", "python benchmarks/bench_batch.py",
+             timeout=3600),
     # all five reference HPO-B search spaces (ranger+svm already trained)
     _hpo_space("glmnet"),
     _hpo_space("rpart"),
