@@ -628,6 +628,72 @@ LANES["E"] = lambda: (
              "--file-name aline_psych --seeds 0,1,2", timeout=3600),
 )
 
+LANES["W"] = lambda: (
+    # Round-4 opening lane (written at round-3 close). Assumes a fresh
+    # host: /tmp/r3m markers and outputs/ are gone; trained weights live
+    # only in the committed checkpoints/ tree (see MANIFEST.md). Fresh
+    # r4_* marker names so stale round-3 markers can't suppress steps;
+    # load_checkpoint=true is resume-if-present, so re-launching after a
+    # mid-train reset loses at most one checkpoint interval.
+    # Priorities per round-3 tail triage (STATUS.md):
+    #   1. psychometric 3-mask at the full 100k reference budget
+    #      (deferred from round 3 for time),
+    #   2. whichever of the five HPO-B search spaces lane U didn't
+    #      reach before the round-3 drain (markerless skip ⇒ rerun),
+    #   3. the flagship GP-AL-1D at the full 200k budget (lane V never
+    #      started in round 3 — the chip was busy until the drain).
+    run_step("r4_psych_full_train",
+             "python train.py task=psychometric task.mask_type=[predefined] "
+             '"task.predefined_masks=[[false,false,true,true],'
+             '[true,true,false,false],[true,true,true,true]]" '
+             '"task.predefined_mask_weights=[1,1,1]" min_T=30 T=30 '
+             "gamma=0.99 max_epoch=100000 burning_epoch=10000 "
+             "dtype=bfloat16 checkpoint=2000 verbose=2000 "
+             "load_checkpoint=true file_name=aline_psych.pth "
+             "output_dir=outputs/psych_r4_full", timeout=10800, stall=1800),
+    run_step("r4_preserve_psych",
+             "python scripts/preserve_models.py outputs/psych_r4_full "
+             "aline_psych psych_100k "
+             "'psychometric 3-mask full reference budget (100k, bf16)'",
+             timeout=600, watch=False),
+    run_step("r4_psych_full_eval",
+             "python scripts/eval_psychometric.py outputs/psych_r4_full "
+             "--file-name aline_psych --seeds 0,1,2", timeout=3600),
+    _hpo_space("glmnet"),
+    _hpo_space("rpart"),
+    _hpo_space("xgboost"),
+    run_step("r4_preserve_hpo",
+             "python scripts/preserve_models.py outputs/hpo_r3_glmnet "
+             "aline_hpo_glmnet hpo_glmnet_15k 'HPO-B glmnet surrogate' "
+             "&& python scripts/preserve_models.py outputs/hpo_r3_rpart "
+             "aline_hpo_rpart hpo_rpart_15k 'HPO-B rpart surrogate' "
+             "&& python scripts/preserve_models.py outputs/hpo_r3_xgboost "
+             "aline_hpo_xgboost hpo_xgboost_15k 'HPO-B xgboost surrogate'",
+             timeout=600, watch=False),
+    run_step("r4_al1d_full_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=200000 burning_epoch=20000 "
+             "dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+             "file_name=aline_al_1d.pth output_dir=outputs/al1d_r4_full",
+             timeout=86400, stall=1800),
+    run_step("r4_preserve_al1d",
+             "python scripts/preserve_models.py outputs/al1d_r4_full "
+             "aline_al_1d al1d_200k "
+             "'GP-AL-1D flagship, full reference budget (200k, bf16)'",
+             timeout=600, watch=False),
+    run_step("r4_al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("r4_al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+)
+
 
 def main():
     os.makedirs(MARKER_DIR, exist_ok=True)
