@@ -642,6 +642,19 @@ LANES["W"] = lambda: (
     #      reach before the round-3 drain (markerless skip ⇒ rerun),
     #   3. the flagship GP-AL-1D at the full 200k budget (lane V never
     #      started in round 3 — the chip was busy until the drain).
+    # 0. CES 200k final bounds: lane U's train COMPLETED (model preserved
+    #    in checkpoints/ces_200k) but the M=2000 x L=1e7 final eval died
+    #    to a TPU-worker crash on every retry (marker ces_full_train =
+    #    "failed"). Re-running train.py restores at epoch 200000 and
+    #    goes straight to eval_boed.
+    run_step("r4_ces_final_eval",
+             "python train.py task=ces lr=1e-3 T=10 task.n_query_init=200 "
+             "max_epoch=200000 burning_epoch=20000 eval=bed "
+             "eval.batch_size=500 eval.L_final=10000000 "
+             "eval.batch_size_final=100 eval.n_query_final=2000 "
+             "eval.T_final=15 dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true file_name=aline_ces.pth "
+             "output_dir=outputs/ces_r4_full", timeout=14400, stall=3600),
     run_step("r4_psych_full_train",
              "python train.py task=psychometric task.mask_type=[predefined] "
              '"task.predefined_masks=[[false,false,true,true],'
