@@ -708,6 +708,78 @@ LANES["W"] = lambda: (
 )
 
 
+LANES["Y"] = lambda: (
+    # CES 200k final bounds, attempt 3. train.py-driven eval with
+    # batch_size_final=100 crashes the TPU worker deterministically
+    # (6/6 attempts, ~3 min into eval_boed — the transient per-chunk
+    # working set at B=100 x L_chunk=32768 x n_query=2000 is too much
+    # for the worker); round 3's successful protocol used batch 20.
+    # The trained model file exists (outputs/ces_r4_full/model), so run
+    # the eval directly at the proven batch size.
+    run_step("r4_ces_bounds_b20",
+             "python scripts/eval_bed.py outputs/ces_r4_full "
+             "--file-name aline_ces --L 10000000 --M 2000 --batch-size 20 "
+             "--n-query 2000 --T 15", timeout=18000, stall=3600),
+)
+
+LANES["X"] = lambda: (
+    # Round-3 tail, session 2: HPO-B budget push. The acquisition
+    # diagnostic (scripts/diag_hpo_acq.py) shows the policy's picks are
+    # near-random w.r.t. the pool variance ordering at 15k epochs (15%
+    # of the reference's default 100k recipe, reference:
+    # config/train.yaml:11) — and on rpart that costs the LL lead to
+    # uncertainty sampling. Extend rpart to 45k (resumes the 15k
+    # checkpoint in outputs/hpo_r3_rpart), re-eval, preserve; then
+    # restore the lost ranger + svm checkpoints (their round-3 models
+    # predate the outputs/ wipe; eval artifacts exist but weights
+    # don't). Time-shares the chip with lane W's al1d train.
+    wait_for("r4_psych_full_eval"),
+    run_step("r4_rpart45k_train",
+             "python train.py task=hpo task.meta_dataset=rpart min_T=30 "
+             "T=30 max_epoch=45000 burning_epoch=3000 head.std_min=0.05 "
+             "dtype=bfloat16 checkpoint=1000 verbose=500 "
+             "load_checkpoint=true file_name=aline_hpo_rpart.pth "
+             "output_dir=outputs/hpo_r3_rpart", timeout=18000, stall=2400),
+    run_step("r4_rpart45k_eval",
+             "python scripts/eval_hpo.py outputs/hpo_r3_rpart "
+             "--file-name aline_hpo_rpart --T 30 --n-query 100 "
+             "--n-target 100 --seeds 0,1,2", timeout=5400),
+    run_step("r4_rpart45k_preserve",
+             "python scripts/preserve_models.py outputs/hpo_r3_rpart "
+             "aline_hpo_rpart hpo_rpart_45k "
+             "'HPO-B rpart surrogate, 45k-epoch budget push'",
+             timeout=600, watch=False),
+    run_step("r4_ranger_train",
+             "python train.py task=hpo task.meta_dataset=ranger min_T=30 "
+             "T=30 max_epoch=15000 burning_epoch=3000 head.std_min=0.05 "
+             "dtype=bfloat16 checkpoint=1000 verbose=500 "
+             "load_checkpoint=true file_name=aline_hpo_ranger.pth "
+             "output_dir=outputs/hpo_r4_ranger", timeout=10800, stall=2400),
+    run_step("r4_ranger_eval",
+             "python scripts/eval_hpo.py outputs/hpo_r4_ranger "
+             "--file-name aline_hpo_ranger --T 30 --n-query 100 "
+             "--n-target 100 --seeds 0,1,2", timeout=5400),
+    run_step("r4_ranger_preserve",
+             "python scripts/preserve_models.py outputs/hpo_r4_ranger "
+             "aline_hpo_ranger hpo_ranger_15k 'HPO-B ranger surrogate'",
+             timeout=600, watch=False),
+    run_step("r4_svm_train",
+             "python train.py task=hpo task.meta_dataset=svm min_T=30 "
+             "T=30 max_epoch=15000 burning_epoch=3000 head.std_min=0.05 "
+             "dtype=bfloat16 checkpoint=1000 verbose=500 "
+             "load_checkpoint=true file_name=aline_hpo_svm.pth "
+             "output_dir=outputs/hpo_r4_svm", timeout=10800, stall=2400),
+    run_step("r4_svm_eval",
+             "python scripts/eval_hpo.py outputs/hpo_r4_svm "
+             "--file-name aline_hpo_svm --T 30 --n-query 100 "
+             "--n-target 100 --seeds 0,1,2", timeout=5400),
+    run_step("r4_svm_preserve",
+             "python scripts/preserve_models.py outputs/hpo_r4_svm "
+             "aline_hpo_svm hpo_svm_15k 'HPO-B svm surrogate'",
+             timeout=600, watch=False),
+)
+
+
 def main():
     os.makedirs(MARKER_DIR, exist_ok=True)
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
