@@ -323,6 +323,14 @@ class Config:
     remat_policy: str = "full"
     # lax.scan unroll factor for the T-step rollout (1 = no unrolling)
     rollout_unroll: int = 1
+    # Compile a statically specialized train step per epoch-mask variant,
+    # slicing never-visible target columns out of the compact attention
+    # key set (numerically exact; see ops/attention.py). Pays off when
+    # the mask deselects many targets (split/theta epochs drop the 100
+    # data-target key columns). Auto-disables if the task produces more
+    # than `static_mask_keys_max` distinct masks (e.g. random masks).
+    static_mask_keys: bool = True
+    static_mask_keys_max: int = 4
     # Computation dtype for the model ("float32" | "bfloat16").
     dtype: str = "float32"
     # Numerics guard: enable jax_debug_nans (the TPU equivalent of the

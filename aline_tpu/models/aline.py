@@ -32,7 +32,12 @@ class Aline(nn.Module):
     head: nn.Module
 
     def __call__(self, batch: Batch, *, training: bool = False,
-                 rng: Optional[jax.Array] = None) -> AlineOutput:
+                 rng: Optional[jax.Array] = None,
+                 sel_targets: Optional[tuple] = None) -> AlineOutput:
+        """``sel_targets``: static tuple of target-block indices equal to
+        the True set of ``batch.target_mask`` — lets the compact attention
+        path slice never-visible target key columns (exact; see
+        ops/attention.py CompactKeys.ext_idx). None = generic path."""
         tokens = self.embedder(batch)
         n_target_tokens = tokens.shape[1] - batch.n_points
         with_time = self.encoder.cfg.with_time_token
@@ -51,7 +56,8 @@ class Aline(nn.Module):
             else:
                 idx, valid = context_indices(batch.ctx_mask,
                                              batch.ctx_capacity, t_off)
-            compact = CompactKeys(idx, valid, batch.n_points, t_off)
+            compact = CompactKeys(idx, valid, batch.n_points, t_off,
+                                  sel_targets)
         z = self.encoder(tokens, roles, batch.t, compact=compact)
         return self.head(batch, z, training=training, rng=rng,
                          time_offset=t_off)

@@ -39,6 +39,12 @@ class CompactKeys(NamedTuple):
     ctx_valid: jnp.ndarray  # [B, Ck] bool
     n_points: int
     time_offset: int        # 1 when a global time token leads the sequence
+    # Static tuple of target-block indices that are attendable this step
+    # (the True set of the epoch's target mask). When given, only these
+    # columns join the compact key set; the dropped columns are masked to
+    # -1e9 for every row anyway (exp underflows to exactly 0.0), so the
+    # slicing is numerically exact. None = keep all target columns.
+    ext_idx: "Tuple[int, ...]" = None
 
 
 def context_indices(ctx_mask: jnp.ndarray, capacity: int,
@@ -94,6 +100,13 @@ def compact_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v_ctx = jnp.einsum("bkn,bhnd->bhkd", onehot, v)
     k_ext = k[:, :, tgt_start:]                              # targets
     v_ext = v[:, :, tgt_start:]
+    ext_cols_src = roles.k_is_sel[:, tgt_start:]             # [B, Nt]
+    if compact.ext_idx is not None:
+        # static specialization: keep only the attendable target columns
+        sel = list(compact.ext_idx)
+        k_ext = k_ext[:, :, sel]
+        v_ext = v_ext[:, :, sel]
+        ext_cols_src = ext_cols_src[:, sel]
     if t_off:                                                # time token col
         k_ext = jnp.concatenate([k[:, :, :1], k_ext], axis=2)
         v_ext = jnp.concatenate([v[:, :, :1], v_ext], axis=2)
@@ -106,7 +119,7 @@ def compact_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ctx_bias = jnp.where(compact.ctx_valid, 0.0, neg)        # [B, Ck]
     ctx_bias = ctx_bias[:, None, None, :]                    # [B,1,1,Ck]
     # extra columns (targets ± time): visible to query rows where selected
-    ext_cols = roles.k_is_sel[:, tgt_start:]                 # [B, Nt]
+    ext_cols = ext_cols_src                                  # [B, Ne']
     if t_off:
         ext_cols = jnp.concatenate(
             [jnp.ones((B, 1), bool), ext_cols], axis=1)      # [B, Ne]

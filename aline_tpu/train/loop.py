@@ -61,6 +61,8 @@ class Trainer:
 
         self._step_cache: Dict[Tuple, callable] = {}
         self._sample_cache: Dict[Tuple, callable] = {}
+        self._sel_variants: set = set()   # distinct static mask variants seen
+        self._sel_disabled = not cfg.static_mask_keys
         self._tx = None
         self._phase = None
 
@@ -95,8 +97,31 @@ class Trainer:
             self._phase = phase
             self._step_cache.clear()
 
-    def _get_step(self, T: int):
-        sig = (self._phase, T)
+    def _static_sel(self, mask) -> Optional[Tuple[int, ...]]:
+        """Static key-set variant for this epoch's target mask, or None.
+
+        Tasks with a small mask universe (all / split / predefined) get
+        one compiled step per variant with the never-visible target key
+        columns sliced out of the compact attention (exact — see
+        ops/attention.py CompactKeys.ext_idx). Auto-disables for tasks
+        that keep producing fresh masks (random n_selected_targets)."""
+        if self._sel_disabled or self.cfg.encoder.attention_impl not in (
+                "auto", "compact"):
+            return None
+        sel = tuple(int(i) for i in np.flatnonzero(np.asarray(mask)))
+        if len(sel) == len(mask):
+            return None        # nothing to slice; share the generic step
+        self._sel_variants.add(sel)
+        if len(self._sel_variants) > self.cfg.static_mask_keys_max:
+            self._sel_disabled = True
+            self.logger.info(
+                "static_mask_keys: >%d distinct masks; falling back to "
+                "the generic step" % self.cfg.static_mask_keys_max)
+            return None
+        return sel
+
+    def _get_step(self, T: int, sel: Optional[Tuple[int, ...]] = None):
+        sig = (self._phase, T, sel)
         if sig in self._step_cache:
             return self._step_cache[sig]
         cfg, model, tx = self.cfg, self.model, self._tx
@@ -110,7 +135,8 @@ class Trainer:
                              time_forward=True,
                              use_remat=cfg.rollout_remat,
                              remat_policy=cfg.remat_policy,
-                             unroll=cfg.rollout_unroll)
+                             unroll=cfg.rollout_unroll,
+                             sel_targets=sel)
                 return total_loss(ro, cfg.gamma, alpha_design)
 
             (loss, m), grads = jax.value_and_grad(loss_fn,
@@ -210,7 +236,7 @@ class Trainer:
 
         alpha_design = jnp.asarray(
             0.0 if phase == "burning" else cfg.alpha, jnp.float32)
-        step_fn = self._get_step(T)
+        step_fn = self._get_step(T, self._static_sel(mask))
         with self.timer.phase("step"):
             self.params, self.opt_state, self.key, m = step_fn(
                 self.params, self.opt_state, self.key, batch,

@@ -32,7 +32,8 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
             w_pred: jnp.ndarray, key: jax.Array, *, training: bool,
             time_token: bool = False, time_forward: bool = True,
             use_remat: bool = True, remat_policy: str = "full",
-            unroll: int = 1) -> RolloutOutputs:
+            unroll: int = 1,
+            sel_targets: tuple = None) -> RolloutOutputs:
     """Run T acquisition steps.
 
     Args:
@@ -50,6 +51,9 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
             outputs, recompute elementwise — trades a little rollout memory
             for less backward-pass recompute).
         unroll: lax.scan unroll factor (XLA fuses across unrolled steps).
+        sel_targets: static tuple of attendable target indices (the True
+            set of batch.target_mask) for the compact-attention key-set
+            specialization; None = generic path. Exact either way.
     """
     target_vals = batch.target_all[..., 0]                   # [B, n_target]
 
@@ -66,7 +70,8 @@ def rollout(model, params, batch: Batch, T: int, w_query: jnp.ndarray,
         else:
             tt = jnp.zeros((), jnp.float32)
         b = batch.replace(ctx_mask=ctx_mask, ctx_idx=ctx_idx, t=tt)
-        out = model.apply(params, b, training=training, rng=k_design)
+        out = model.apply(params, b, training=training, rng=k_design,
+                          sel_targets=sel_targets)
         b2, x_sel, y_sel = select_design(b, out.design_out.idx)
         ll = gmm_log_prob(target_vals,
                           out.posterior_out.mixture_means,

@@ -50,10 +50,16 @@ def main():
 
     trainer = Trainer(cfg)
 
-    # warmup: trigger compilation of sample + step
+    # warmup: trigger compilation of sample + step. The split mask gives
+    # TWO statically specialized step variants (static_mask_keys); keep
+    # warming until the step cache stops growing so no compile can land
+    # inside a measured window.
     n_warm, n_meas, n_windows = 3, 10, 3
-    for e in range(n_warm):
+    e = 0
+    while e < n_warm or (len(trainer._step_cache) < 2 and e < 32):
         m = trainer.train_epoch(e)
+        e += 1
+    n_warm = e
     _ = float(m["loss"])  # hard sync (block_until_ready can be unreliable
     #                       over remote-device transports)
 
