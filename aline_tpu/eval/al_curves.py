@@ -19,6 +19,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aline_tpu.distributions.gmm import gmm_log_prob, gmm_variance
 from aline_tpu.eval.metrics import compute_rmse
@@ -46,6 +47,18 @@ def al_rollout_curves(model, params, batch: Batch, T: int, key: jax.Array,
     """
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}")
+    # the eval mask is fixed for the whole rollout — derive the static
+    # key-set specialization (ops/attention.py CompactKeys.ext_idx) from
+    # it; exact, and skips dead target key columns (e.g. the 100 data
+    # targets during a theta-mask eval)
+    try:
+        sel_targets = tuple(
+            int(i) for i in np.flatnonzero(np.asarray(batch.target_mask)))
+        if len(sel_targets) == int(batch.target_mask.shape[0]):
+            sel_targets = None
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        sel_targets = None           # called under jit: generic path
     n_ctx0 = int(batch.ctx_mask[0].sum())
     batch = init_ctx_idx(batch, min(n_ctx0 + T, batch.n_points))
     target_vals = batch.target_all[..., 0]
@@ -81,7 +94,8 @@ def al_rollout_curves(model, params, batch: Batch, T: int, key: jax.Array,
         k, k_choice = jax.random.split(k)
         if time_token:
             b = b.replace(t=((T - t) / T).astype(jnp.float32))
-        out = model.apply(params, b, training=False)
+        out = model.apply(params, b, training=False,
+                          sel_targets=sel_targets)
         lp, rmse = posterior_metrics(out)
         idx = choose(out, b, k_choice)
         b2, _, _ = select_design(b, idx)
@@ -89,7 +103,8 @@ def al_rollout_curves(model, params, batch: Batch, T: int, key: jax.Array,
 
     (final_b, _), (lps, rmses, idxs) = jax.lax.scan(
         step, (batch, key), jnp.arange(T, dtype=jnp.float32))
-    out = model.apply(params, final_b, training=False)
+    out = model.apply(params, final_b, training=False,
+                      sel_targets=sel_targets)
     lp_f, rmse_f = posterior_metrics(out)
     return {
         "log_prob": jnp.concatenate(

@@ -131,6 +131,28 @@ class TestRolloutGradExactness:
                                        err_msg=str(kp))
 
 
+class TestEvalCurves:
+    def test_al_rollout_curves_auto_specialization(self):
+        """al_rollout_curves derives the static key set from the eval
+        mask — its curves must match the dense naive attention path."""
+        from aline_tpu.eval.al_curves import al_rollout_curves
+
+        mask = MASKS["theta"]
+        outs = {}
+        for impl in ("auto", "naive"):
+            cfg = small_cfg(**{"encoder.attention_impl": impl})
+            model = build_model(cfg)
+            batch = make_ready_batch(cfg, mask, jax.random.key(0))
+            params = model.init(jax.random.key(1), batch, training=False)
+            outs[impl] = al_rollout_curves(model, params, batch, 3,
+                                           jax.random.key(2))
+        np.testing.assert_array_equal(np.asarray(outs["auto"]["idx"]),
+                                      np.asarray(outs["naive"]["idx"]))
+        np.testing.assert_allclose(np.asarray(outs["auto"]["log_prob"]),
+                                   np.asarray(outs["naive"]["log_prob"]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestTrainerIntegration:
     def _run(self, static_on, n_epochs=6):
         cfg = small_cfg()
