@@ -59,12 +59,20 @@ def bench_one(name, overrides):
     T = cfg.T
     trainer = Trainer(cfg)
 
-    for e in range(N_WARM):
+    # warm until the step cache stops growing: split/predefined masks
+    # compile one statically specialized step per variant (see
+    # Trainer._static_sel) and none may land in a measured window
+    e, last_growth, cache_n = 0, 0, -1
+    while e < N_WARM or (e < 40 and e - last_growth < 8):
         m = trainer.train_epoch(e)
+        e += 1
+        if len(trainer._step_cache) != cache_n:
+            cache_n, last_growth = len(trainer._step_cache), e
+    n_warm = e
     _ = float(m["loss"])  # hard sync
 
     rates = []
-    epoch = N_WARM
+    epoch = n_warm
     for w in range(N_WINDOWS):
         t0 = time.perf_counter()
         for _ in range(N_MEAS):
