@@ -45,14 +45,24 @@ def main():
         shutil.copy2(src_cfg, os.path.join(dest, "config.json"))
 
     manifest = os.path.join(repo, "checkpoints", "MANIFEST.md")
-    fresh = not os.path.exists(manifest)
-    with open(manifest, "a") as f:
-        if fresh:
-            f.write("# Preserved trained models\n\n"
-                    "| name | source run | model file | preserved | note |\n"
-                    "|---|---|---|---|---|\n")
-        f.write(f"| {dest_name} | {run_dir} | {model_name} | "
-                f"{time.strftime('%Y-%m-%d %H:%M')} | {note} |\n")
+    header = ("# Preserved trained models\n\n"
+              "| name | source run | model file | preserved | note |\n"
+              "|---|---|---|---|---|\n")
+    lines = []
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            lines = [ln for ln in f.read().splitlines()
+                     if ln.startswith("| ") and
+                     not ln.startswith("| name ") and
+                     not ln.startswith("|---")]
+    # re-preserving a name replaces its row instead of appending a dup
+    lines = [ln for ln in lines
+             if ln.split("|")[1].strip() != dest_name]
+    lines.append(f"| {dest_name} | {run_dir} | {model_name} | "
+                 f"{time.strftime('%Y-%m-%d %H:%M')} | {note} |")
+    with open(manifest, "w") as f:
+        f.write(header)
+        f.write("\n".join(lines) + "\n")
     n_bytes = sum(os.path.getsize(os.path.join(d, x))
                   for d, _, xs in os.walk(dest) for x in xs)
     print(f"preserved {run_dir}/model/{model_name} -> checkpoints/"
