@@ -55,9 +55,11 @@ def main():
     # warming until the step cache stops growing so no compile can land
     # inside a measured window.
     n_warm, n_meas, n_windows = 3, 10, 3
-    e = 0
-    while e < n_warm or (len(trainer._step_cache) < 2 and e < 32):
+    e, last_growth, cache_sz = 0, 0, -1
+    while e < n_warm or (e - last_growth < 8 and e < 32):
         m = trainer.train_epoch(e)
+        if len(trainer._step_cache) != cache_sz:
+            cache_sz, last_growth = len(trainer._step_cache), e
         e += 1
     n_warm = e
     _ = float(m["loss"])  # hard sync (block_until_ready can be unreliable

@@ -77,7 +77,10 @@ def main():
     batch = batch.replace(target_mask=jnp.asarray(mask))
     batch = init_ctx_idx(
         batch, min(trainer.task.n_context_init + T, batch.n_points))
-    step_fn = trainer._get_step(T)
+    # lower the same mask-specialized step variant the trainer actually
+    # runs (bench_tasks.json times the specialized steps; lowering the
+    # generic one would count slightly different work than was timed)
+    step_fn = trainer._get_step(T, trainer._static_sel(mask))
     lowered = step_fn.lower(trainer.params, trainer.opt_state, key, batch,
                             jnp.asarray(w_q), jnp.asarray(w_p),
                             jnp.asarray(1.0, jnp.float32))

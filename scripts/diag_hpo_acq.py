@@ -94,8 +94,12 @@ def main():
         # rank = number of pool points with strictly larger variance
         rank = jnp.sum(var_m > chosen_var[:, None], axis=-1)
         pool_max = jnp.max(var_m, axis=-1)
-        ratio = jnp.sqrt(jnp.exp(jnp.log(chosen_var) -
-                                 jnp.log(pool_max)))
+        # std ratio on the UNMASKED variance: if the policy ever picks an
+        # already-acquired (non-pool) point, the masked value is -inf and
+        # would silently poison the mean with NaN
+        chosen_var_raw = jnp.take_along_axis(var, idx[:, None],
+                                             axis=-1)[:, 0]
+        ratio = jnp.sqrt(chosen_var_raw / pool_max)
         pool_sz = jnp.sum(pool, axis=-1)
         var_ranks.append(np.asarray(rank / jnp.maximum(pool_sz - 1, 1)))
         std_ratios.append(np.asarray(ratio))

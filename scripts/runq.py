@@ -115,6 +115,14 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
             break
         print(f"[runq] {name}: nonzero exit, retrying", flush=True)
         time.sleep(60)
+    if status == "timeout":
+        # A (possibly deadline-capped) timeout means the step was cut
+        # mid-budget; leave NO marker so a later lane re-runs it (training
+        # steps checkpoint-resume). Writing one here would mark partial
+        # work as done and let a downstream preserve_* snapshot it.
+        print(f"[runq] {name}: timeout — no marker, resumes on re-run",
+              flush=True)
+        return
     with open(marker, "w") as f:
         f.write(status + "\n")
 
