@@ -141,8 +141,14 @@ class Trainer:
 
             (loss, m), grads = jax.value_and_grad(loss_fn,
                                                   has_aux=True)(params)
+            # observability: global grad/param norms ride along as two
+            # device-side scalars (the wandb.watch equivalent; reference:
+            # train_aline.py:252-253) — saturation/explosion shows up in
+            # metrics.jsonl without any extra sync
+            m["grad_norm"] = optax.global_norm(grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            m["param_norm"] = optax.global_norm(params)
             return params, opt_state, k_next, m
 
         fn = jax.jit(step, donate_argnums=(0, 1))
