@@ -64,11 +64,26 @@ def _auto_chunk(L: int, B: int, Th: int, L_chunk: int) -> int:
     return int(min(L_chunk, cap, max(L, 1)))
 
 
+# Work ceiling (elements = Lc * B * Th * chunks) for ONE device execution
+# of the chunk scan.  A single XLA program that runs for many minutes gets
+# the TPU worker killed ("TPU worker process crashed or restarted", seen
+# deterministically at eval.batch_size_final=100 on CES: that call did
+# ~15e9 element-steps in one execution vs the proven-safe ~3e9 at batch
+# 20).  Splitting the scan into several shorter executions with the LSE
+# state carried across calls is bit-identical (same fold order) and keeps
+# every program comfortably under the worker's patience.
+_MAX_ELEMS_PER_CALL = 3_000_000_000
+
+
 @partial(jax.jit, static_argnames=("task", "L", "Lc", "n_chunks"))
-def _accumulate_chunks(task, x, y, key, L: int, Lc: int, n_chunks: int
+def _accumulate_chunks(task, x, y, key, L: int, Lc: int, n_chunks: int,
+                       i0: jnp.ndarray = 0,
+                       state: Optional[LogSumExpState] = None
                        ) -> LogSumExpState:
     """Fold n_chunks chunks of Lc contrastive draws into an LSE state.
-    Chunk keys derive from the GLOBAL chunk index → device-count invariant."""
+    Chunk keys derive from the GLOBAL chunk index (``i0`` offset) →
+    device-count and call-split invariant.  ``state`` carries the
+    accumulator across split calls (bit-identical to one big scan)."""
     B, Th = x.shape[0], x.shape[1]
 
     def body(state, i):
@@ -79,8 +94,8 @@ def _accumulate_chunks(task, x, y, key, L: int, Lc: int, n_chunks: int
         S = jnp.where(valid[:, None, None], S, -jnp.inf)
         return lse_update(state, S, axis=0), None
 
-    init = lse_init((B, Th))
-    state, _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    init = lse_init((B, Th)) if state is None else state
+    state, _ = jax.lax.scan(body, init, i0 + jnp.arange(n_chunks))
     return state
 
 
@@ -229,7 +244,16 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
 
         state = sharded(chunk_ids, x, y, key)
     else:
-        state = _accumulate_chunks(task, x, y, key, L, Lc, n_chunks)
+        # split the scan so no single device execution exceeds the work
+        # ceiling (see _MAX_ELEMS_PER_CALL); the LSE carry makes the split
+        # bit-identical to one big scan
+        per_chunk = max(Lc * B * Th, 1)
+        group = max(1, min(n_chunks, _MAX_ELEMS_PER_CALL // per_chunk))
+        state = lse_init((B, Th))
+        for g0 in range(0, n_chunks, group):
+            g = min(group, n_chunks - g0)
+            state = _accumulate_chunks(task, x, y, key, L, Lc, g,
+                                       i0=jnp.asarray(g0), state=state)
 
     return _finalize_bounds(state, S0, L, stepwise)
 

@@ -33,14 +33,37 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src_model = os.path.join(repo, run_dir, "model", model_name)
     src_cfg = os.path.join(repo, run_dir, "config.json")
-    if not os.path.isdir(src_model):
-        sys.exit(f"no model dir at {src_model}")
+    # resume checkpoints (params+opt+rng, written every cfg.checkpoint
+    # epochs) — the only artifact a deadline-killed train leaves behind.
+    # train.py writes model/<name> only on completion.
+    ckpts = [d for d in os.listdir(os.path.join(repo, run_dir))
+             if d.startswith("ckpt")
+             and os.path.isdir(os.path.join(repo, run_dir, d, "tree"))]
+    have_model = os.path.isdir(src_model)
+    if not have_model and not ckpts:
+        sys.exit(f"no model dir at {src_model} and no resume ckpt")
     dest = os.path.join(repo, "checkpoints", dest_name)
     os.makedirs(os.path.join(dest, "model"), exist_ok=True)
-    dst_model = os.path.join(dest, "model", model_name)
-    if os.path.exists(dst_model):
-        shutil.rmtree(dst_model)
-    shutil.copytree(src_model, dst_model)
+    if have_model:
+        dst_model = os.path.join(dest, "model", model_name)
+        if os.path.exists(dst_model):
+            shutil.rmtree(dst_model)
+        shutil.copytree(src_model, dst_model)
+    for ck in ckpts:
+        src_ck = os.path.join(repo, run_dir, ck)
+        if have_model and os.path.getmtime(
+                os.path.join(src_ck, "tree")) <= os.path.getmtime(
+                os.path.join(src_model, "tree")):
+            continue  # final model is at least as fresh; skip the ckpt
+        dst_ck = os.path.join(dest, ck)
+        if os.path.exists(dst_ck):
+            shutil.rmtree(dst_ck)
+        shutil.copytree(src_ck, dst_ck)
+        note = (note + " " if note else "") + \
+            f"[+resume ckpt {ck}; restore into {run_dir}/ to continue]"
+    if not have_model:
+        note = (note + " " if note else "") + "[NO final model: " \
+            "train incomplete — resume ckpt only]"
     if os.path.exists(src_cfg):
         shutil.copy2(src_cfg, os.path.join(dest, "config.json"))
 

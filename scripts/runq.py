@@ -40,7 +40,8 @@ def cpu_seconds(pgid):
     return total
 
 
-def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
+def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3,
+             min_room=900):
     marker = os.path.join(MARKER_DIR, f"{name}.done")
     if os.path.exists(marker):
         print(f"[runq] skip {name} (marker exists)", flush=True)
@@ -48,14 +49,16 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3):
     # RUNQ_DEADLINE (unix ts): drain the queue before the round-end
     # driver benchmark needs a quiet chip. Steps that don't fit are
     # skipped WITHOUT a marker so they resume next round; running steps
-    # are capped so they checkpoint-stop in time.
+    # are capped so they checkpoint-stop in time. Quick must-run steps
+    # (model preserves) pass a small min_room so a deadline-killed train
+    # still gets its partial weights snapshotted into checkpoints/.
     deadline = float(os.environ.get("RUNQ_DEADLINE", "inf"))
     remaining = deadline - time.time()
-    if remaining < 900:
+    if remaining < min_room:
         print(f"[runq] skip {name} (deadline: {remaining:.0f}s left)",
               flush=True)
         return
-    timeout = min(timeout, remaining - 300)
+    timeout = min(timeout, max(remaining - min(300, min_room // 3), 60))
     log = f"/tmp/runq_{name}.log"
     status = "failed"
     for attempt in range(retries):
@@ -785,6 +788,74 @@ LANES["X"] = lambda: (
              "python scripts/preserve_models.py outputs/hpo_r4_svm "
              "aline_hpo_svm hpo_svm_15k 'HPO-B svm surrogate'",
              timeout=600, watch=False),
+)
+
+
+LANES["R4"] = lambda: (
+    # Round-4 main lane (relaunched mid-round with the round's own
+    # RUNQ_DEADLINE). Serial on purpose: big eval programs (2-min XLA
+    # executions) starve a co-running trainer at program granularity, so
+    # time-sharing buys nothing here.
+    # 1. Flagship GP-AL-1D to the FULL 200k reference budget (VERDICT r3
+    #    item 1; reference README.md:35). Resumes outputs/al1d_r4_full.
+    run_step("r4_al1d_full_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=200000 burning_epoch=20000 "
+             "dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+             "file_name=aline_al_1d.pth output_dir=outputs/al1d_r4_full",
+             timeout=86400, stall=1800),
+    run_step("r4_preserve_al1d",
+             "python scripts/preserve_models.py outputs/al1d_r4_full "
+             "aline_al_1d al1d_200k "
+             "'GP-AL-1D flagship, full reference budget (200k, bf16)'",
+             timeout=600, watch=False, min_room=90),
+    run_step("r4_al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("r4_al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+    # 2. CES sNMC bracket-vs-L convergence trend (VERDICT r3 item 7) at
+    #    M=200 for the curve; batch 100 exercises the worker-crash fix
+    #    (aline_tpu/eval/eig.py call splitting) at the exact batch size
+    #    that used to kill the worker.
+    run_step("r4_ces_trend_L1e6",
+             "python scripts/eval_bed.py outputs/ces_r4_full "
+             "--file-name aline_ces --L 1000000 --M 200 --batch-size 100 "
+             "--n-query 2000 --T 15", timeout=5400, stall=2400),
+    run_step("r4_ces_trend_L3e6",
+             "python scripts/eval_bed.py outputs/ces_r4_full "
+             "--file-name aline_ces --L 3000000 --M 200 --batch-size 100 "
+             "--n-query 2000 --T 15", timeout=7200, stall=2400),
+    run_step("r4_ces_trend_L1e7",
+             "python scripts/eval_bed.py outputs/ces_r4_full "
+             "--file-name aline_ces --L 10000000 --M 200 --batch-size 100 "
+             "--n-query 2000 --T 15", timeout=10800, stall=2400),
+    run_step("r4_ces_trend_L3e7",
+             "python scripts/eval_bed.py outputs/ces_r4_full "
+             "--file-name aline_ces --L 30000000 --M 200 --batch-size 100 "
+             "--n-query 2000 --T 15", timeout=14400, stall=3600),
+    # 3. GP-AL-2D toward the 200k reference budget, FROM SCRATCH: the
+    #    round-3 50k weights died with a host reset before preserve_models
+    #    existed (eval artifacts survive in benchmarks/artifacts/). Burns
+    #    whatever chip time remains, checkpoint-resumes next round.
+    run_step("r4_al2d_train",
+             "python train.py task=al_mix task.dim_x=2 task.n_target_theta=3 "
+             "task.n_query_init=200 task.design_scale=5 gamma=1 min_T=50 "
+             "T=50 max_epoch=200000 burning_epoch=20000 dtype=bfloat16 "
+             "checkpoint=2000 verbose=2000 load_checkpoint=true "
+             "file_name=aline_al_2d.pth output_dir=outputs/al2d_r4_full",
+             timeout=86400, stall=1800),
+    run_step("r4_preserve_al2d",
+             "python scripts/preserve_models.py outputs/al2d_r4_full "
+             "aline_al_2d al2d_wip "
+             "'GP-AL-2D toward 200k; ACTUAL epoch count in metrics.jsonl'",
+             timeout=600, watch=False, min_room=90),
 )
 
 

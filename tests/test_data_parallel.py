@@ -82,3 +82,44 @@ class TestDataParallelTraining:
         assert trainer.mesh.devices.size == 1
         m = trainer.train_epoch(0)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestDataParallelTrajectory:
+    """Round-4 deepening (VERDICT r3 #6): DP correctness over TIME, not
+    just one step — same seed, 1-device vs 8-device mesh, ~50 epochs of
+    real Trainer updates (gradient psum + per-device batch sharding +
+    Adam), with a checkpoint-resume on the sharded side mid-run."""
+
+    @pytest.mark.slow
+    def test_dp_trajectory_50_epochs_with_resume(self, tmp_path):
+        N = 50
+        cfg1 = dp_cfg(tmp_path / "t1", batch_size=16, mesh_data=1)
+        cfg1.max_epoch = N
+        t1 = Trainer(cfg1)
+        losses1 = [float(t1.train_epoch(e)["loss"]) for e in range(N)]
+
+        cfg8 = dp_cfg(tmp_path / "t8", batch_size=16, mesh_data=8)
+        cfg8.max_epoch = N
+        t8 = Trainer(cfg8)
+        assert t8.mesh.devices.size == 8
+        losses8 = [float(t8.train_epoch(e)["loss"]) for e in range(N // 2)]
+
+        # resume the sharded run from a mid-trajectory checkpoint: a fresh
+        # Trainer restores params/opt-state/PRNG + host RNG streams and
+        # must continue the SAME trajectory
+        t8.save(N // 2)
+        t8b = Trainer(dp_cfg(tmp_path / "t8", batch_size=16, mesh_data=8))
+        t8b.restore()
+        assert t8b.start_epoch == N // 2
+        losses8 += [float(t8b.train_epoch(e)["loss"])
+                    for e in range(N // 2, N)]
+
+        losses1 = np.asarray(losses1)
+        losses8 = np.asarray(losses8)
+        # float32 reduction-order noise compounds through Adam over 50
+        # steps; the trajectories must stay numerically close throughout
+        np.testing.assert_allclose(losses1[:10], losses8[:10],
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(losses1, losses8, rtol=0.05, atol=0.05)
+        # and end in the same basin (learning happened identically)
+        assert abs(losses1[-5:].mean() - losses8[-5:].mean()) < 0.05

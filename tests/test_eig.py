@@ -119,6 +119,27 @@ class TestEIGBounds:
         np.testing.assert_allclose(np.asarray(pce_a), np.asarray(pce_b),
                                    atol=1.0)
 
+    def test_call_split_invariance(self, rng_key, monkeypatch):
+        """Splitting the chunk scan into multiple short device executions
+        (the eval.batch_size_final=100 TPU-worker-crash fix) is
+        bit-identical to one big scan: same chunk keys, same fold order,
+        LSE state carried across calls."""
+        import aline_tpu.eval.eig as eig_mod
+        task, _ = location_task()
+        k1, k2, k3 = jax.random.split(rng_key, 3)
+        B, Th, L = 2, 3, 96
+        theta_0 = task.sample_theta(k1, (B,))
+        x = task.sample_data(k2, B, Th)
+        y = task.simulate(k3, x, theta_0[:, None])
+        one = compute_eig_from_history(task, theta_0, x, y, L, k1,
+                                       L_chunk=16)  # 6 chunks, 1 call
+        # force one chunk per device call (ceiling == one chunk's elems)
+        monkeypatch.setattr(eig_mod, "_MAX_ELEMS_PER_CALL", 16 * B * Th)
+        many = compute_eig_from_history(task, theta_0, x, y, L, k1,
+                                        L_chunk=16)  # 6 chunks, 6 calls
+        for a, b in zip(one, many):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_bounds_bracket_at_large_L(self, rng_key):
         """PCE (lower) <= NMC (upper) and both finite; with random designs
         the gap shrinks as L grows."""
