@@ -190,6 +190,15 @@ class Trainer:
         self.params = device_state["params"]
         self.opt_state = device_state["opt_state"]
         self.key = jax.random.wrap_key_data(device_state["key"])
+        if self.mesh.devices.size > 1:
+            # orbax restores COMMITTED single-device arrays; replicate them
+            # over the data mesh or the jitted step rejects the mixed
+            # placement (uncommitted init params replicate implicitly)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+            self.key = jax.device_put(self.key, rep)
         self.start_epoch = host["epoch"]
         self.pyrng.setstate(host["pyrandom"])
         self.nprng.bit_generator.state = host["numpy"]
