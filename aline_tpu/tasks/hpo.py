@@ -188,12 +188,16 @@ class HPOB:
         inits = self.get_bo_initializations()
         data = self.get_test_set()
         rows = []
+        # custom slices (e.g. the dataset-shift surrogate 'ranger_shift')
+        # key bo-initializations by their slice name instead of a numeric
+        # HPO-B space id
+        space_key = DATASET_IDS.get(self.meta_dataset, self.meta_dataset)
         for dataset_id in data.keys():
             dataset = data[dataset_id]
             X = np.asarray(dataset["X"], np.float32)
             y = np.asarray(dataset["y"], np.float32).reshape(-1, 1)
             for seed in seeds:
-                init_ids = inits[DATASET_IDS[self.meta_dataset]][dataset_id][seed]
+                init_ids = inits[space_key][dataset_id][seed]
                 mask = np.ones(X.shape[0], bool)
                 mask[init_ids] = False
                 Xr, yr = X[mask], y[mask]

@@ -33,6 +33,11 @@ def main():
                     help="comma-separated eval seeds for across-seed error "
                          "bars (overrides --seed); the test batch is fixed "
                          "by the benchmark, seeds vary the rollout keys")
+    ap.add_argument("--meta-dataset", default=None,
+                    help="evaluate on a DIFFERENT slice than the one the "
+                         "policy was trained on (must share dim_x), e.g. "
+                         "the dataset-shift OOD slice 'ranger_shift'")
+    ap.add_argument("--out-name", default="hpo_test_curves.npz")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +49,10 @@ def main():
     from aline_tpu.utils.serialization import load_config_and_model
 
     cfg, model, params = load_config_and_model(args.run_dir, args.file_name)
+    if args.meta_dataset:
+        print(f"OOD eval: policy trained on {cfg.task.meta_dataset!r}, "
+              f"testing on {args.meta_dataset!r}")
+        cfg.task.meta_dataset = args.meta_dataset
     task = build_task(cfg.task)
     if task.hpob is None:
         raise RuntimeError("HPO-B data not found under data/HPOB/")
@@ -95,7 +104,7 @@ def main():
 
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(out_dir, "hpo_test_curves.npz")
+    out_path = os.path.join(out_dir, args.out_name)
     np.savez(out_path, **results)
     print("saved", out_path)
 

@@ -407,6 +407,70 @@ class TestHPOBHandler:
         with pytest.raises(ValueError):
             HPOBHandler(root_dir=hpob_bench_dir, mode="bogus")
 
+    def test_v3_full_layout_roundtrip(self, tmp_path, np_rng):
+        """The REAL HPO-B v3 file layout (meta-train/validation/test +
+        bo-initializations, numeric space ids, ragged dataset sizes)
+        round-trips through HPOBHandler unchanged: v3 keeps the splits
+        separate, v2 merges them into one test view (reference:
+        tasks/hpo.py:46-102). Guards that dropping in the real 1.4 GB
+        benchmark JSONs requires zero code changes."""
+        import json as _json
+
+        from aline_tpu.tasks import HPOBHandler
+
+        def ds(n, dim):
+            return {"X": np_rng.uniform(size=(n, dim)).round(6).tolist(),
+                    "y": np_rng.uniform(size=(n, 1)).round(6).tolist()}
+
+        d = tmp_path
+        # ragged dataset sizes within each space, like the real benchmark
+        train = {"5971": {"a": ds(40, 6), "b": ds(17, 6)},
+                 "7609": {"c": ds(23, 6)}}
+        valid = {"5971": {"v": ds(11, 6)}}
+        test = {"5971": {"t1": ds(30, 6), "t2": ds(9, 6)}}
+        (d / "meta-train-dataset.json").write_text(_json.dumps(train))
+        (d / "meta-train-dataset-augmented.json").write_text(
+            _json.dumps(train))
+        (d / "meta-validation-dataset.json").write_text(_json.dumps(valid))
+        (d / "meta-test-dataset.json").write_text(_json.dumps(test))
+        bo = {"5971": {"t1": {f"test{i}": [0, 1, 2] for i in range(5)},
+                       "t2": {f"test{i}": [0, 1, 2] for i in range(5)}}}
+        (d / "bo-initializations.json").write_text(_json.dumps(bo))
+
+        h3 = HPOBHandler(root_dir=str(d), mode="v3")
+        assert set(h3.meta_train_data) == {"5971", "7609"}
+        np.testing.assert_array_equal(
+            np.asarray(h3.meta_train_data["5971"]["a"]["X"]),
+            np.asarray(train["5971"]["a"]["X"]))  # exact round-trip
+        assert h3.get_search_space_dim("5971") == 6
+        assert [len(v["X"]) for v in
+                h3.meta_train_data["5971"].values()] == [40, 17]
+
+        h2 = HPOBHandler(root_dir=str(d), mode="v2")
+        # v1/v2 merge: test view holds train + test + validation datasets
+        assert set(h2.meta_test_data["5971"]) == {"a", "b", "v", "t1", "t2"}
+        assert h2.meta_train_data is None
+
+    def test_shift_slice_end_to_end(self):
+        """The committed dataset-shift OOD slice (ragged test sizes, bo
+        inits keyed by slice name) loads through the SAME production path
+        as the canonical spaces."""
+        import os
+
+        from aline_tpu.tasks import HPOB
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data")
+        if not os.path.exists(os.path.join(root, "HPOB",
+                                           "ranger_shift.json")):
+            pytest.skip("ranger_shift slice not generated")
+        hpob = HPOB(meta_dataset="ranger_shift", data_path=root)
+        assert hpob.dim_x == 6
+        cx, cy, qx, qy, tx, ty = hpob.sample_test_set(
+            n_context=5, n_query=100, n_target=100)
+        assert cx.shape == (30, 5, 6)      # 6 ragged datasets x 5 seeds
+        assert qx.shape == (30, 100, 6)
+        assert np.isfinite(qy).all() and np.isfinite(ty).all()
+
 
 class TestHPOBTestSetProtocol:
     def test_sample_test_set(self, tmp_path, np_rng):
