@@ -124,7 +124,8 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
                              L_chunk: int = 32_768, stepwise: bool = False,
                              mesh: Optional[Mesh] = None,
                              axis_name: str = "contrastive",
-                             thetas: Optional[jnp.ndarray] = None):
+                             thetas: Optional[jnp.ndarray] = None,
+                             L_checkpoints: Optional[list] = None):
     """sPCE/sNMC bounds for a batch of histories.
 
     Args:
@@ -139,9 +140,18 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
                 given, ``L``/``key`` are ignored for sampling and the bound
                 is computed on exactly these draws (deterministic-theta
                 mode, used for cross-framework parity tests).
+        L_checkpoints: optional ascending list of intermediate L values —
+                the streaming accumulator is snapshotted as it passes each
+                one, so a SINGLE pass yields the whole bracket-vs-L
+                convergence curve (bound gap characterization) for the
+                price of the largest L. Checkpoints snap up to chunk
+                multiples; the returned dict is keyed by the EFFECTIVE
+                (snapped) L used in each bound's normalization.
+                Single-device path only (no mesh).
 
     Returns:
-        (pce, nmc): EIG bounds, [B, Th] if stepwise else [B].
+        (pce, nmc): EIG bounds, [B, Th] if stepwise else [B]; or, with
+        ``L_checkpoints``, an ``{L_eff: (pce, nmc)}`` dict.
     """
     B, Th = x.shape[0], x.shape[1]
     x = jnp.asarray(x)
@@ -249,6 +259,26 @@ def compute_eig_from_history(task, theta_0, x, y, L: int, key: jax.Array,
         # bit-identical to one big scan
         per_chunk = max(Lc * B * Th, 1)
         group = max(1, min(n_chunks, _MAX_ELEMS_PER_CALL // per_chunk))
+        if L_checkpoints:
+            # chunk counts at which to snapshot the accumulator
+            marks = sorted({min(math.ceil(lc / Lc), n_chunks)
+                            for lc in L_checkpoints})
+            if marks[-1] != n_chunks:
+                marks.append(n_chunks)
+            results = {}
+            state = lse_init((B, Th))
+            done = 0
+            for mark in marks:
+                for g0 in range(done, mark, group):
+                    g = min(group, mark - g0)
+                    state = _accumulate_chunks(task, x, y, key, L, Lc, g,
+                                               i0=jnp.asarray(g0),
+                                               state=state)
+                done = mark
+                L_eff = min(mark * Lc, L)
+                results[L_eff] = _finalize_bounds(state, S0, L_eff,
+                                                  stepwise)
+            return results
         state = lse_init((B, Th))
         for g0 in range(0, n_chunks, group):
             g = min(group, n_chunks - g0)

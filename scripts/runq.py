@@ -820,26 +820,24 @@ LANES["R4"] = lambda: (
              "python scripts/eval_al.py outputs/al1d_r4_full "
              "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
              "--mask theta --seeds 0,1,2", timeout=5400),
-    # 2. CES sNMC bracket-vs-L convergence trend (VERDICT r3 item 7) at
-    #    M=200 for the curve; batch 100 exercises the worker-crash fix
-    #    (aline_tpu/eval/eig.py call splitting) at the exact batch size
-    #    that used to kill the worker.
-    run_step("r4_ces_trend_L1e6",
-             "python scripts/eval_bed.py outputs/ces_r4_full "
-             "--file-name aline_ces --L 1000000 --M 200 --batch-size 100 "
-             "--n-query 2000 --T 15", timeout=5400, stall=2400),
-    run_step("r4_ces_trend_L3e6",
-             "python scripts/eval_bed.py outputs/ces_r4_full "
-             "--file-name aline_ces --L 3000000 --M 200 --batch-size 100 "
-             "--n-query 2000 --T 15", timeout=7200, stall=2400),
-    run_step("r4_ces_trend_L1e7",
-             "python scripts/eval_bed.py outputs/ces_r4_full "
-             "--file-name aline_ces --L 10000000 --M 200 --batch-size 100 "
-             "--n-query 2000 --T 15", timeout=10800, stall=2400),
-    run_step("r4_ces_trend_L3e7",
-             "python scripts/eval_bed.py outputs/ces_r4_full "
-             "--file-name aline_ces --L 30000000 --M 200 --batch-size 100 "
-             "--n-query 2000 --T 15", timeout=14400, stall=3600),
+    # 2. CES sNMC bracket-vs-L convergence trend (VERDICT r3 item 7):
+    #    single streaming pass with LSE snapshots at L checkpoints, so
+    #    the 4-point curve costs one L=3e7 eval; batch 100 exercises the
+    #    worker-crash fix at the exact batch size that used to kill the
+    #    worker.
+    run_step("r4_ces_trend",
+             "python scripts/eval_bed_trend.py outputs/ces_r4_full "
+             "--file-name aline_ces "
+             "--L-checkpoints 1000000,3000000,10000000,30000000 "
+             "--M 200 --batch-size 100 --n-query 2000 --T 15",
+             timeout=10800, stall=2400),
+    # OOD acquisition: the ranger policy on the dataset-shift slice
+    # (VERDICT r3 item 8 follow-through; ~15 min)
+    run_step("r4_hpo_shift_eval",
+             "python scripts/eval_hpo.py checkpoints/hpo_ranger_15k "
+             "--file-name aline_hpo_ranger --meta-dataset ranger_shift "
+             "--T 30 --n-query 100 --n-target 100 --seeds 0,1,2 "
+             "--out-name hpo_shift_curves.npz", timeout=5400),
     # 3. GP-AL-2D toward the 200k reference budget, FROM SCRATCH: the
     #    round-3 50k weights died with a host reset before preserve_models
     #    existed (eval artifacts survive in benchmarks/artifacts/). Burns

@@ -140,6 +140,27 @@ class TestEIGBounds:
         for a, b in zip(one, many):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_L_checkpoints_match_plain_calls(self, rng_key):
+        """Single-pass trend snapshots equal independent full evaluations
+        at each effective L (same chunk keys by construction)."""
+        task, _ = location_task()
+        k1, k2, k3 = jax.random.split(rng_key, 3)
+        B, Th, Lc = 2, 3, 16
+        theta_0 = task.sample_theta(k1, (B,))
+        x = task.sample_data(k2, B, Th)
+        y = task.simulate(k3, x, theta_0[:, None])
+        curve = compute_eig_from_history(task, theta_0, x, y, 96, k1,
+                                         L_chunk=Lc,
+                                         L_checkpoints=[30, 64, 96])
+        assert sorted(curve) == [32, 64, 96]  # 30 snaps up to 2 chunks
+        for L_eff, (pce_c, nmc_c) in curve.items():
+            pce_p, nmc_p = compute_eig_from_history(
+                task, theta_0, x, y, L_eff, k1, L_chunk=Lc)
+            np.testing.assert_allclose(np.asarray(pce_c),
+                                       np.asarray(pce_p), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(nmc_c),
+                                       np.asarray(nmc_p), rtol=1e-6)
+
     def test_bounds_bracket_at_large_L(self, rng_key):
         """PCE (lower) <= NMC (upper) and both finite; with random designs
         the gap shrinks as L grows."""
