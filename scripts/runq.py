@@ -857,6 +857,100 @@ LANES["R4"] = lambda: (
 )
 
 
+LANES["R4b"] = lambda: (
+    # Round-4 SESSION-2 lane. The host reset wiped outputs/ and the /tmp
+    # markers: the al1d 200k flagship restarts from scratch (its 54k
+    # resume ckpt and the round-3 100k weights both lived only in
+    # outputs/), and every step referencing outputs/ces_r4_full must now
+    # read the committed checkpoints/ces_200k snapshot instead.
+    # Short checkpoint-based steps land first so an early death still
+    # banks them; then the 200k flagship owns the chip.
+    # (a) OOD acquisition: ranger policy on the dataset-shift slice
+    #     (VERDICT r3 item 8 follow-through; ~15 min)
+    run_step("r4_hpo_shift_eval",
+             "python scripts/eval_hpo.py checkpoints/hpo_ranger_15k "
+             "--file-name aline_hpo_ranger --meta-dataset ranger_shift "
+             "--T 30 --n-query 100 --n-target 100 --seeds 0,1,2 "
+             "--out-name hpo_shift_curves.npz", timeout=5400),
+    # (b) on-TPU validation of the B=100 worker-crash fix at the exact
+    #     crashing scale (VERDICT r3 item 3: "passing batch-100 eval"):
+    #     one outer chunk of B=M=100 at the full L=1e7.
+    run_step("r4_ces_b100_fixcheck",
+             "python scripts/repro_ces_eval_crash.py checkpoints/ces_200k "
+             "--file-name aline_ces --mode fixed --B 100 --L 10000000",
+             timeout=5400, stall=1800),
+    # (c) flagship GP-AL-1D to the FULL 200k reference budget (VERDICT
+    #     r3 item 1; reference README.md:35), from scratch, default seed
+    #     => deterministically reproduces the round-3 100k trajectory on
+    #     the way.
+    run_step("r4_al1d_full_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=200000 burning_epoch=20000 "
+             "dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+             "file_name=aline_al_1d.pth output_dir=outputs/al1d_r4_full",
+             timeout=86400, stall=1800),
+    run_step("r4_preserve_al1d",
+             "python scripts/preserve_models.py outputs/al1d_r4_full "
+             "aline_al_1d al1d_200k "
+             "'GP-AL-1D flagship, full reference budget (200k, bf16)'",
+             timeout=600, watch=False, min_room=90),
+    run_step("r4_al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("r4_al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+    # (d) CES sNMC bracket-vs-L convergence trend (VERDICT r3 item 7):
+    #     one streaming pass with LSE snapshots; batch 100 re-exercises
+    #     the worker-crash fix at trend scale (L=3e7).
+    run_step("r4_ces_trend",
+             "python scripts/eval_bed_trend.py checkpoints/ces_200k "
+             "--file-name aline_ces "
+             "--L-checkpoints 1000000,3000000,10000000,30000000 "
+             "--M 200 --batch-size 100 --n-query 2000 --T 15",
+             timeout=10800, stall=2400),
+    # (e) continuous-design policy past its pce_L ceiling (VERDICT r3
+    #     item 4): pathwise sPCE at pce_L=8191 (train-bound ceiling
+    #     log(8192)=9.01 > the discrete policy's 8.87), full cosine
+    #     anneal from scratch like the successful pce_L=2047 run.
+    run_step("r4_cont_pce8191",
+             "python scripts/train_continuous.py max_epoch=50000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=8191 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_cont_pce8191", timeout=21600,
+             stall=1800),
+    run_step("r4_preserve_cont8191",
+             "python scripts/preserve_models.py outputs/loc_cont_pce8191 "
+             "aline_cont cont_pce8191 "
+             "'continuous-design loc policy, pathwise sPCE pce_L=8191'",
+             timeout=600, watch=False, min_room=90),
+    # (f) GP-AL-2D toward the 200k reference budget, from scratch (the
+    #     round-3 50k weights died with the same host reset). Burns
+    #     whatever chip time remains; checkpoint-resumes later.
+    run_step("r4_al2d_train",
+             "python train.py task=al_mix task.dim_x=2 task.n_target_theta=3 "
+             "task.n_query_init=200 task.design_scale=5 gamma=1 min_T=50 "
+             "T=50 max_epoch=200000 burning_epoch=20000 dtype=bfloat16 "
+             "checkpoint=2000 verbose=2000 load_checkpoint=true "
+             "file_name=aline_al_2d.pth output_dir=outputs/al2d_r4_full",
+             timeout=86400, stall=1800),
+    run_step("r4_preserve_al2d",
+             "python scripts/preserve_models.py outputs/al2d_r4_full "
+             "aline_al_2d al2d_wip "
+             "'GP-AL-2D toward 200k; ACTUAL epoch count in metrics.jsonl'",
+             timeout=600, watch=False, min_room=90),
+)
+
+
 def main():
     os.makedirs(MARKER_DIR, exist_ok=True)
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
