@@ -951,6 +951,81 @@ LANES["R4b"] = lambda: (
 )
 
 
+LANES["R5"] = lambda: (
+    # Round-5 opening lane (written at the round-4 tail). Assumes a
+    # fresh host: /tmp markers and outputs/ gone; trained weights +
+    # resume ckpts live in the committed checkpoints/ tree.
+    # 1. Finish the flagship GP-AL-1D 200k (round 4 banked ~170k +
+    #    resume ckpt in checkpoints/al1d_200k) and run the split-mask
+    #    evals (VERDICT r3 item 1).
+    run_step("r5_al1d_restore",
+             "python scripts/restore_run.py al1d_200k outputs/al1d_r4_full",
+             timeout=300, watch=False),
+    run_step("r5_al1d_train",
+             "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+             "task.n_query_init=200 task.lengthscale_lower=0.1 "
+             "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+             "min_T=30 T=30 max_epoch=200000 burning_epoch=20000 "
+             "dtype=bfloat16 checkpoint=4000 verbose=2000 "
+             "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+             "file_name=aline_al_1d.pth output_dir=outputs/al1d_r4_full",
+             timeout=21600, stall=1800),
+    run_step("r5_preserve_al1d",
+             "python scripts/preserve_models.py outputs/al1d_r4_full "
+             "aline_al_1d al1d_200k "
+             "'GP-AL-1D flagship, full reference budget (200k, bf16)'",
+             timeout=600, watch=False, min_room=90),
+    run_step("r5_al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("r5_al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+    # 2. CES bracket-vs-L trend at full protocol (VERDICT r3 item 7).
+    run_step("r5_ces_trend",
+             "python scripts/eval_bed_trend.py checkpoints/ces_200k "
+             "--file-name aline_ces "
+             "--L-checkpoints 1000000,3000000,10000000,30000000 "
+             "--M 200 --batch-size 100 --n-query 2000 --T 15",
+             timeout=10800, stall=2400),
+    # 3. Continuous policy past the pce_L ceiling (VERDICT r3 item 4).
+    run_step("r5_cont_pce8191",
+             "python scripts/train_continuous.py max_epoch=50000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=8191 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_cont_pce8191", timeout=21600,
+             stall=1800),
+    run_step("r5_preserve_cont8191",
+             "python scripts/preserve_models.py outputs/loc_cont_pce8191 "
+             "aline_cont cont_pce8191 "
+             "'continuous-design loc policy, pathwise sPCE pce_L=8191'",
+             timeout=600, watch=False, min_room=90),
+    # 4. GP-AL-2D toward 200k (VERDICT r3 item 1 second half); resumes
+    #    checkpoints/al2d_wip if round 4 banked one, else from scratch.
+    run_step("r5_al2d_restore",
+             "python scripts/restore_run.py al2d_wip outputs/al2d_r4_full "
+             "|| true", timeout=300, watch=False),
+    run_step("r5_al2d_train",
+             "python train.py task=al_mix task.dim_x=2 task.n_target_theta=3 "
+             "task.n_query_init=200 task.design_scale=5 gamma=1 min_T=50 "
+             "T=50 max_epoch=200000 burning_epoch=20000 dtype=bfloat16 "
+             "checkpoint=2000 verbose=2000 load_checkpoint=true "
+             "file_name=aline_al_2d.pth output_dir=outputs/al2d_r4_full",
+             timeout=86400, stall=1800),
+    run_step("r5_preserve_al2d",
+             "python scripts/preserve_models.py outputs/al2d_r4_full "
+             "aline_al_2d al2d_wip "
+             "'GP-AL-2D toward 200k; ACTUAL epoch count in metrics.jsonl'",
+             timeout=600, watch=False, min_room=90),
+)
+
+
 def main():
     os.makedirs(MARKER_DIR, exist_ok=True)
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
