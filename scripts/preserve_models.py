@@ -66,6 +66,10 @@ def main():
             "train incomplete — resume ckpt only]"
     if os.path.exists(src_cfg):
         shutil.copy2(src_cfg, os.path.join(dest, "config.json"))
+    # training-trajectory evidence (epoch counts, loss/norm series)
+    src_metrics = os.path.join(repo, run_dir, "metrics.jsonl")
+    if os.path.exists(src_metrics):
+        shutil.copy2(src_metrics, os.path.join(dest, "metrics.jsonl"))
 
     manifest = os.path.join(repo, "checkpoints", "MANIFEST.md")
     header = ("# Preserved trained models\n\n"
