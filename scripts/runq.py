@@ -983,6 +983,15 @@ LANES["R5"] = lambda: (
              "python scripts/eval_al.py outputs/al1d_r4_full "
              "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
              "--mask theta --seeds 0,1,2", timeout=5400),
+    run_step("r5_al1d_artifacts",
+             "cp outputs/al1d_r4_full/eval/al_curves_data_mask.npz "
+             "benchmarks/artifacts/al1d_r4_data_mask.npz && "
+             "cp outputs/al1d_r4_full/eval/al_curves_theta_mask.npz "
+             "benchmarks/artifacts/al1d_r4_theta_mask.npz && "
+             "python scripts/paired_al_stats.py al1d_r4_data_mask.npz "
+             "al1d_r4_theta_mask.npz "
+             "--out benchmarks/artifacts/al1d_r4_paired_stats.json && "
+             "python scripts/make_figures.py", timeout=900, watch=False),
     # 2. CES bracket-vs-L trend at full protocol (VERDICT r3 item 7).
     run_step("r5_ces_trend",
              "python scripts/eval_bed_trend.py checkpoints/ces_200k "
