@@ -30,7 +30,10 @@ import time
 def main():
     run_dir, model_name, dest_name = sys.argv[1:4]
     note = sys.argv[4] if len(sys.argv) > 4 else ""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # ALINE_REPO_ROOT lets tests exercise the preserve/restore round trip
+    # in a throwaway tree instead of the real checkpoints/ + MANIFEST.md.
+    repo = os.environ.get("ALINE_REPO_ROOT") or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
     src_model = os.path.join(repo, run_dir, "model", model_name)
     src_cfg = os.path.join(repo, run_dir, "config.json")
     # resume checkpoints (params+opt+rng, written every cfg.checkpoint

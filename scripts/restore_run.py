@@ -21,7 +21,9 @@ import sys
 
 def main():
     snap_name, run_dir = sys.argv[1:3]
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # see preserve_models.py: test override for the repo root
+    repo = os.environ.get("ALINE_REPO_ROOT") or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
     snap = os.path.join(repo, "checkpoints", snap_name)
     dest = os.path.join(repo, run_dir)
     if not os.path.isdir(snap):
