@@ -1000,15 +1000,20 @@ LANES["R5"] = lambda: (
              "--M 200 --batch-size 100 --n-query 2000 --T 15",
              timeout=10800, stall=2400),
     # 3. Continuous policy past the pce_L ceiling (VERDICT r3 item 4).
+    #    30k with a full cosine anneal, NOT 50k: round 5 is the last
+    #    round, so a COMPLETED run with the final-eval bounds artifact
+    #    beats a deadline-cut 50k partial (the pce_L=2047 fresh run
+    #    reached its eval ceiling by 30-40k; ceiling here is
+    #    log(8192)=9.01, target >=8.0 vs discrete 8.87).
     run_step("r5_cont_pce8191",
-             "python scripts/train_continuous.py max_epoch=50000 "
+             "python scripts/train_continuous.py max_epoch=30000 "
              "burning_epoch=3000 verbose=1000 checkpoint=2000 "
              "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
              "pce_L=8191 head.policy_log_std_min=-3.0 "
              "head.policy_log_std_max=0.0 "
              "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
              "eval.batch_size_final=200 eval.T_final=30 "
-             "output_dir=outputs/loc_cont_pce8191", timeout=21600,
+             "output_dir=outputs/loc_cont_pce8191", timeout=16200,
              stall=1800),
     run_step("r5_preserve_cont8191",
              "python scripts/preserve_models.py outputs/loc_cont_pce8191 "
@@ -1017,6 +1022,14 @@ LANES["R5"] = lambda: (
              timeout=600, watch=False, min_room=90),
     # 4. GP-AL-2D toward 200k (VERDICT r3 item 1 second half); resumes
     #    checkpoints/al2d_wip if round 4 banked one, else from scratch.
+    #    NOTE (round-4 close analysis, STATUS.md): the round-3 50k 2D
+    #    weights are lost but their eval artifacts survive
+    #    (benchmarks/artifacts/al2d_r3_{data,theta}_mask.npz). A fresh
+    #    run only adds evidence past ~50k (~4-5 h at the measured 2D
+    #    rate). If the remaining round-5 window is shorter than that,
+    #    consider spending it on HPO budget pushes (rpart 15k->45k
+    #    showed real acquisition gains) or extra flagship eval seeds
+    #    instead.
     run_step("r5_al2d_restore",
              "python scripts/restore_run.py al2d_wip outputs/al2d_r4_full "
              "|| true", timeout=300, watch=False),
