@@ -53,6 +53,14 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3,
     # (model preserves) pass a small min_room so a deadline-killed train
     # still gets its partial weights snapshotted into checkpoints/.
     deadline = float(os.environ.get("RUNQ_DEADLINE", "inf"))
+    # /tmp/runq_deadline (unix ts) overrides the env var when present, so
+    # a live queue's drain time can be tightened/extended between steps
+    # without restarting it (the env of a running process is immutable).
+    try:
+        with open("/tmp/runq_deadline") as f:
+            deadline = float(f.read().strip())
+    except (OSError, ValueError):
+        pass
     remaining = deadline - time.time()
     if remaining < min_room:
         print(f"[runq] skip {name} (deadline: {remaining:.0f}s left)",
@@ -1045,6 +1053,115 @@ LANES["R5"] = lambda: (
              "aline_al_2d al2d_wip "
              "'GP-AL-2D toward 200k; ACTUAL epoch count in metrics.jsonl'",
              timeout=600, watch=False, min_room=90),
+)
+
+
+_AL1D_TRAIN = (
+    "python train.py task=al_mix task.dim_x=1 task.n_target_theta=2 "
+    "task.n_query_init=200 task.lengthscale_lower=0.1 "
+    "task.lengthscale_upper=2.0 task.design_scale=5 gamma=1 "
+    "min_T=30 T=30 max_epoch=200000 burning_epoch=20000 "
+    "dtype=bfloat16 checkpoint=4000 verbose=2000 "
+    "load_checkpoint=true checkpoint_name=ckpt_al_1d.tar "
+    "file_name=aline_al_1d.pth output_dir=outputs/al1d_r4_full"
+)
+
+
+def _hpo_push(space, run_dir, epochs=45000, min_room_train=12600):
+    """From-scratch budget push for one HPO-B search space (VERDICT r4
+    item 5: only rpart's lead over random survived pairing at 15k, and
+    rpart is the one space that got 45k — test budget on the weak ones).
+    From scratch because the completed 15k snapshots hold no resume ckpt
+    (preserve_models skips the ckpt when the final model is as fresh).
+    Gated on enough room to finish train+eval, else deadline-skips whole.
+    """
+    run_step(f"r5b_{space}{epochs // 1000}k_train",
+             f"python train.py task=hpo task.meta_dataset={space} min_T=30 "
+             f"T=30 max_epoch={epochs} burning_epoch=3000 head.std_min=0.05 "
+             "dtype=bfloat16 checkpoint=1000 verbose=500 "
+             f"load_checkpoint=true file_name=aline_hpo_{space}.pth "
+             f"output_dir={run_dir}", timeout=18000, stall=2400,
+             min_room=min_room_train)
+    run_step(f"r5b_{space}{epochs // 1000}k_preserve",
+             f"python scripts/preserve_models.py {run_dir} "
+             f"aline_hpo_{space} hpo_{space}_{epochs // 1000}k "
+             f"'HPO-B {space} surrogate, {epochs // 1000}k-epoch budget "
+             "push'", timeout=600, watch=False, min_room=90)
+    run_step(f"r5b_{space}{epochs // 1000}k_eval",
+             f"python scripts/eval_hpo.py {run_dir} "
+             f"--file-name aline_hpo_{space} --T 30 --n-query 100 "
+             "--n-target 100 --seeds 0,1,2", timeout=5400)
+
+
+LANES["R5b"] = lambda: (
+    # Round-5 main lane, adjusted from the pre-written R5: outputs/
+    # SURVIVED the round boundary this time and the flagship train is
+    # already LIVE (~148k at lane authoring, launched by round-4's runq
+    # whose stale 19:03 deadline would have cut it — that runner was
+    # killed by PID; the train keeps the chip). Step 1 therefore waits
+    # for the adopted train instead of restoring from checkpoints/.
+    run_step("r5b_al1d_wait",
+             "python scripts/wait_for_run.py outputs/al1d_r4_full "
+             "--timeout 14400", timeout=15000, watch=False),
+    # Finishes (or crash-resumes) the flagship if the adopted train died
+    # short of 200k; no-op when the final model already exists.
+    run_step("r5b_al1d_train",
+             "test -e outputs/al1d_r4_full/model/aline_al_1d || "
+             + _AL1D_TRAIN, timeout=14400, stall=1800),
+    run_step("r5b_preserve_al1d",
+             "python scripts/preserve_models.py outputs/al1d_r4_full "
+             "aline_al_1d al1d_200k "
+             "'GP-AL-1D flagship, full reference budget (200k, bf16)'",
+             timeout=600, watch=False, min_room=90),
+    run_step("r5b_al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("r5b_al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+    run_step("r5b_al1d_artifacts",
+             "cp outputs/al1d_r4_full/eval/al_curves_data_mask.npz "
+             "benchmarks/artifacts/al1d_r4_data_mask.npz && "
+             "cp outputs/al1d_r4_full/eval/al_curves_theta_mask.npz "
+             "benchmarks/artifacts/al1d_r4_theta_mask.npz && "
+             "python scripts/paired_al_stats.py al1d_r4_data_mask.npz "
+             "al1d_r4_theta_mask.npz "
+             "--out benchmarks/artifacts/al1d_r4_paired_stats.json && "
+             "python scripts/make_figures.py", timeout=900, watch=False,
+             min_room=120),
+    # CES bracket-vs-L trend at full protocol (VERDICT r3 item 7 / r4
+    # item 3): one streaming pass, LSE snapshots at each L checkpoint.
+    run_step("r5b_ces_trend",
+             "python scripts/eval_bed_trend.py checkpoints/ces_200k "
+             "--file-name aline_ces "
+             "--L-checkpoints 1000000,3000000,10000000,30000000 "
+             "--M 200 --batch-size 100 --n-query 2000 --T 15",
+             timeout=10800, stall=2400),
+    # Continuous policy past the pce_L ceiling (VERDICT r4 item 4):
+    # 30k full cosine anneal at pce_L=8191 (train-bound ceiling
+    # log(8192)=9.01), then the T=30/L=1e6/M=400 final bounds eval.
+    run_step("r5b_cont_pce8191",
+             "python scripts/train_continuous.py max_epoch=30000 "
+             "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+             "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+             "pce_L=8191 head.policy_log_std_min=-3.0 "
+             "head.policy_log_std_max=0.0 "
+             "eval.EIG=true eval.L_final=1000000 eval.M_final=400 "
+             "eval.batch_size_final=200 eval.T_final=30 "
+             "output_dir=outputs/loc_cont_pce8191", timeout=16200,
+             stall=1800),
+    run_step("r5b_preserve_cont8191",
+             "python scripts/preserve_models.py outputs/loc_cont_pce8191 "
+             "aline_cont cont_pce8191 "
+             "'continuous-design loc policy, pathwise sPCE pce_L=8191'",
+             timeout=600, watch=False, min_room=90),
+    # HPO-B budget pushes for the two spaces whose paired ΔLL-vs-random
+    # CIs straddle 0 (VERDICT r4 item 5). Each gated to only start with
+    # room to finish; otherwise README wording covers the 15k state.
+    _hpo_push("xgboost", "outputs/hpo_r5_xgboost"),
+    _hpo_push("ranger", "outputs/hpo_r5_ranger"),
 )
 
 
