@@ -137,6 +137,7 @@ def main():
     stem = ("al_curves" if args.mask == "default"
             else f"al_curves_{args.mask}_mask")
     out_path = os.path.join(out_dir, f"{stem}.npz")
+    results["seeds"] = np.array(seeds)   # pairing metadata
     np.savez(out_path, **results)
     print(f"saved curves to {out_path}")
 

@@ -105,6 +105,7 @@ def main():
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, args.out_name)
+    results["seeds"] = np.array(seeds)   # pairing metadata
     np.savez(out_path, **results)
     print("saved", out_path)
 

@@ -61,6 +61,22 @@ def main():
     policy = None
     if args.policy_npz and os.path.exists(args.policy_npz):
         policy = dict(np.load(args.policy_npz))
+        # The first eval seed's curves are keyed UNPREFIXED in both
+        # artifacts, so pairing is only valid when the seed lists match
+        # (newer artifacts carry a 'seeds' array; otherwise infer the
+        # later seeds from the seed{N}_ key prefixes).
+        if "seeds" in policy:
+            pol_seeds = [int(s) for s in policy.pop("seeds")]
+        else:
+            import re
+            later = sorted({int(m.group(1)) for k in policy
+                            if (m := re.match(r"seed(\d+)_", k))})
+            pol_seeds = None if not later else [None] + later
+        if pol_seeds is not None and (
+                pol_seeds[1:] != seeds[1:] or
+                (pol_seeds[0] is not None and pol_seeds[0] != seeds[0])):
+            sys.exit(f"--policy-npz seed list {pol_seeds} does not match "
+                     f"--seeds {seeds}; paired deltas would mispair")
 
     results, finals = {}, {}
     for seed in seeds:
@@ -99,6 +115,7 @@ def main():
               f"{lls.std():.4f}  RMSE {rms.mean():.4f} ± {rms.std():.4f}")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    results["seeds"] = np.array(seeds)   # pairing metadata
     np.savez(args.out, **results)
     print(f"saved curves to {args.out}")
 

@@ -88,6 +88,7 @@ def main():
     out_dir = os.path.join(args.run_dir, "eval")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "psychometric_curves.npz")
+    results["seeds"] = np.array(seeds)   # pairing metadata
     np.savez(path, **results)
     print(f"saved curves to {path}")
 

@@ -16,6 +16,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import re
+
 import numpy as np  # noqa: E402
 
 ART = os.path.join(os.path.dirname(os.path.dirname(
@@ -27,9 +29,16 @@ def _load(name):
     return dict(np.load(path)) if os.path.exists(path) else None
 
 
-def _pool_seeds(d, key, seeds=("", "seed1_", "seed2_")):
-    """Concatenate [B, T+1] curves across eval seeds, if present."""
-    parts = [d[f"{p}{key}"] for p in seeds if f"{p}{key}" in d]
+def _pool_seeds(d, key):
+    """Concatenate [B, T+1] curves across eval seeds, if present.
+
+    Seed prefixes are discovered from the keys (first seed unprefixed,
+    later ones by seed VALUE, ``seed{N}_``) so non-contiguous seed lists
+    pool correctly.
+    """
+    pres = [""] + sorted({m.group(0) for k in d
+                          if (m := re.match(r"seed\d+_", k))})
+    parts = [d[f"{p}{key}"] for p in pres if f"{p}{key}" in d]
     return np.concatenate(parts) if parts else None
 
 

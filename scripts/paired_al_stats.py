@@ -18,6 +18,7 @@ Defaults to the GP-AL-1D split-mask artifacts of record.
 import argparse
 import json
 import os
+import re
 
 import numpy as np
 
@@ -26,16 +27,29 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 N_BOOT = 20_000
 
 
+def seed_prefixes(d):
+    """Seed prefixes actually present in the artifact.
+
+    eval_al.py / eval_psychometric.py / eval_psi.py key the first eval
+    seed unprefixed and every later one by seed VALUE (``seed{N}_``), so
+    non-contiguous seed lists (e.g. --seeds 0,5,7) must be discovered
+    from the keys, not enumerated by index.
+    """
+    pres = {""}
+    for k in d:
+        m = re.match(r"seed\d+_", k)
+        if m:
+            pres.add(m.group(0))
+    return sorted(pres)
+
+
 def paired_final_deltas(d, policy, base, metric):
     """Concatenate per-problem final-step deltas across eval seeds."""
-    deltas, pre, i = [], "", 0
-    while f"{pre}{policy}_{metric}" in d:
-        if f"{pre}{base}_{metric}" in d:
-            dp = d[f"{pre}{policy}_{metric}"][:, -1]
-            db = d[f"{pre}{base}_{metric}"][:, -1]
-            deltas.append(dp - db)
-        i += 1
-        pre = f"seed{i}_"
+    deltas = []
+    for pre in seed_prefixes(d):
+        kp, kb = f"{pre}{policy}_{metric}", f"{pre}{base}_{metric}"
+        if kp in d and kb in d:
+            deltas.append(d[kp][:, -1] - d[kb][:, -1])
     return np.concatenate(deltas) if deltas else None
 
 
@@ -63,9 +77,8 @@ def main():
     for name in args.artifacts:
         path = name if os.path.exists(name) else os.path.join(ART, name)
         d = dict(np.load(path))
-        strategies = sorted({k.split("_log_prob")[0].split("seed")[-1]
-                             .split("_", 1)[-1] if k.startswith("seed")
-                             else k.split("_log_prob")[0]
+        strategies = sorted({re.sub(r"^seed\d+_", "",
+                                    k[:-len("_log_prob")])
                              for k in d if k.endswith("_log_prob")})
         for base in strategies:
             if base == args.policy:

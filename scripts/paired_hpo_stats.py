@@ -18,6 +18,8 @@ import json
 import os
 import sys
 
+import re
+
 import numpy as np
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
@@ -36,12 +38,16 @@ N_BOOT = 20_000
 
 
 def seed_mean_final(d, strat, metric):
-    """Per-problem final-step value, averaged over eval seeds: [B]."""
-    mats = [d[f"{strat}_{metric}"]]
-    i = 1
-    while f"seed{i}_{strat}_{metric}" in d:
-        mats.append(d[f"seed{i}_{strat}_{metric}"])
-        i += 1
+    """Per-problem final-step value, averaged over eval seeds: [B].
+
+    Seed prefixes are discovered from the keys (first seed unprefixed,
+    later ones keyed by seed VALUE, ``seed{N}_``), so non-contiguous
+    --seeds lists average correctly.
+    """
+    pres = [""] + sorted({m.group(0) for k in d
+                          if (m := re.match(r"seed\d+_", k))})
+    mats = [d[f"{p}{strat}_{metric}"] for p in pres
+            if f"{p}{strat}_{metric}" in d]
     return np.stack(mats).mean(0)[:, -1]
 
 

@@ -57,7 +57,14 @@ def main():
         if have_model and os.path.getmtime(
                 os.path.join(src_ck, "tree")) <= os.path.getmtime(
                 os.path.join(src_model, "tree")):
-            continue  # final model is at least as fresh; skip the ckpt
+            # Final model is at least as fresh; skip the ckpt — and prune
+            # any stale ckpt an earlier mid-train preserve left in the
+            # snapshot, or a later restore+resume would re-train epochs
+            # the snapshot's final model already contains.
+            stale = os.path.join(dest, ck)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+            continue
         dst_ck = os.path.join(dest, ck)
         if os.path.exists(dst_ck):
             shutil.rmtree(dst_ck)

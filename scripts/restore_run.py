@@ -10,9 +10,10 @@ Usage:
 
 e.g.  python scripts/restore_run.py al1d_200k outputs/al1d_r4_full
 
-Copies checkpoints/SNAPSHOT_NAME/{config.json, model/, ckpt*} into
-RUN_DIR (won't clobber an existing resume ckpt in RUN_DIR — if the run
-dir already has one, it is assumed fresher and kept).
+Copies checkpoints/SNAPSHOT_NAME/{config.json, metrics.jsonl, model/,
+ckpt*} into RUN_DIR (won't clobber an existing resume ckpt or
+metrics.jsonl in RUN_DIR — if the run dir already has one, it is
+assumed fresher and kept).
 """
 import os
 import shutil
@@ -32,7 +33,11 @@ def main():
     for entry in os.listdir(snap):
         src = os.path.join(snap, entry)
         dst = os.path.join(dest, entry)
-        if entry == "config.json":
+        if entry in ("config.json", "metrics.jsonl"):
+            # metrics.jsonl carries the full training trajectory; the
+            # resumed train appends to it, and the next preserve_models
+            # snapshot then keeps the whole 0..N history instead of only
+            # the post-restore tail.
             if not os.path.exists(dst):
                 shutil.copy2(src, dst)
             continue

@@ -87,6 +87,30 @@ class TestPreserve:
                                   "toy_snap"], tmp_path)
         assert r.returncode != 0
 
+    def test_represerve_prunes_stale_snapshot_ckpt(self, tmp_path):
+        # Mid-train preserve banks the resume ckpt; once the run
+        # completes and the final model is fresher, re-preserving must
+        # REMOVE the now-stale ckpt from the snapshot — otherwise a
+        # later restore+resume would re-train epochs the snapshot's
+        # final model already contains (round-4 advisor finding).
+        run = make_run_dir(tmp_path, "toy_run", with_model=False)
+        r = run_script(PRESERVE, ["outputs/toy_run", "aline_toy",
+                                  "toy_snap", "mid-train"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        snap = tmp_path / "checkpoints" / "toy_snap"
+        assert (snap / "ckpt_toy").exists()
+        model = run / "model" / "aline_toy" / "tree"
+        model.mkdir(parents=True)
+        (model / "params.bin").write_bytes(b"final-weights")
+        old = os.path.getmtime(model) - 100
+        os.utime(run / "ckpt_toy" / "tree", (old, old))
+        r = run_script(PRESERVE, ["outputs/toy_run", "aline_toy",
+                                  "toy_snap", "final"], tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert (snap / "model" / "aline_toy" / "tree" /
+                "params.bin").read_bytes() == b"final-weights"
+        assert not (snap / "ckpt_toy").exists()
+
     def test_represerve_replaces_manifest_row(self, tmp_path):
         make_run_dir(tmp_path, "toy_run")
         for note in ("first", "second"):
@@ -118,6 +142,17 @@ class TestRestore:
                 "params.bin").read_bytes() == b"weights"
         assert (run / "ckpt_toy" / "tree" /
                 "state.bin").read_bytes() == b"resume"
+
+    def test_restore_copies_metrics_trajectory(self, preserved):
+        # The snapshot's metrics.jsonl (full training trajectory) must
+        # come back with the run dir: the resumed train APPENDS to it,
+        # and the next preserve then keeps the whole history instead of
+        # only the post-restore tail (round-4 advisor finding, medium).
+        r = run_script(RESTORE, ["toy_snap", "outputs/restored"],
+                       preserved)
+        assert r.returncode == 0, r.stderr
+        run = preserved / "outputs" / "restored"
+        assert (run / "metrics.jsonl").read_text() == '{"step": 5}\n'
 
     def test_restore_keeps_existing_ckpt(self, preserved):
         run = preserved / "outputs" / "restored"
