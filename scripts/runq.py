@@ -18,6 +18,10 @@ import sys
 import time
 
 MARKER_DIR = "/tmp/r3m"
+# Unix-ts file that overrides $RUNQ_DEADLINE when present, so a live
+# queue's drain time can be tightened/extended between steps (the env of
+# a running process is immutable from outside).
+DEADLINE_FILE = "/tmp/runq_deadline"
 
 
 def cpu_seconds(pgid):
@@ -53,11 +57,8 @@ def run_step(name, cmd, timeout, stall=1200, watch=True, retries=3,
     # (model preserves) pass a small min_room so a deadline-killed train
     # still gets its partial weights snapshotted into checkpoints/.
     deadline = float(os.environ.get("RUNQ_DEADLINE", "inf"))
-    # /tmp/runq_deadline (unix ts) overrides the env var when present, so
-    # a live queue's drain time can be tightened/extended between steps
-    # without restarting it (the env of a running process is immutable).
     try:
-        with open("/tmp/runq_deadline") as f:
+        with open(DEADLINE_FILE) as f:
             deadline = float(f.read().strip())
     except (OSError, ValueError):
         pass

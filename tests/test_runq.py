@@ -46,6 +46,10 @@ def fast_runq(tmp_path, monkeypatch):
     monkeypatch.setattr(runq.time, "sleep",
                         lambda s: real_sleep(min(s, 0.05)))
     monkeypatch.delenv("RUNQ_DEADLINE", raising=False)
+    # keep the REAL /tmp/runq_deadline (a live queue's drain time) out of
+    # the tests — point the override file into the tmp tree
+    monkeypatch.setattr(runq, "DEADLINE_FILE",
+                        str(tmp_path / "runq_deadline"))
     return marker_dir
 
 
@@ -111,6 +115,52 @@ class TestRunStep:
         assert time.time() - t0 < 120
         assert len(counter.read_text().splitlines()) == 2  # retried once
         assert marker(fast_runq, "s_stall") == "failed"
+
+
+class TestDeadlineFile:
+    def test_file_overrides_env_to_skip(self, fast_runq, tmp_path,
+                                        monkeypatch):
+        # env says plenty of room; the file (written mid-round to pull
+        # the drain earlier) says none -> the step must skip
+        monkeypatch.setenv("RUNQ_DEADLINE", str(time.time() + 10_000))
+        (tmp_path / "runq_deadline").write_text(str(time.time() + 10))
+        out = tmp_path / "ran"
+        runq.run_step("s_fdl", f"touch {out}", timeout=30, min_room=900)
+        assert not out.exists()
+        assert marker(fast_runq, "s_fdl") is None
+
+    def test_file_overrides_env_to_extend(self, fast_runq, tmp_path,
+                                          monkeypatch):
+        monkeypatch.setenv("RUNQ_DEADLINE", str(time.time() + 10))
+        (tmp_path / "runq_deadline").write_text(
+            str(time.time() + 10_000))
+        out = tmp_path / "ran"
+        runq.run_step("s_fex", f"touch {out}", timeout=30, min_room=900,
+                      watch=False)
+        assert out.exists()
+        assert marker(fast_runq, "s_fex") == "ok"
+
+    def test_garbage_file_falls_back_to_env(self, fast_runq, tmp_path,
+                                            monkeypatch):
+        monkeypatch.delenv("RUNQ_DEADLINE", raising=False)
+        (tmp_path / "runq_deadline").write_text("not-a-number\n")
+        out = tmp_path / "ran"
+        runq.run_step("s_fgb", f"touch {out}", timeout=30, watch=False)
+        assert out.exists()
+        assert marker(fast_runq, "s_fgb") == "ok"
+
+
+class TestWaitForRun:
+    def test_returns_immediately_without_live_train(self, tmp_path):
+        import subprocess
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "wait_for_run.py")
+        t0 = time.time()
+        r = subprocess.run([sys.executable, script, "outputs/nope_run"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0
+        assert "no live train" in r.stdout
+        assert time.time() - t0 < 30
 
 
 class TestCpuSeconds:
