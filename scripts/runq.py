@@ -1165,6 +1165,77 @@ LANES["R5b"] = lambda: (
     _hpo_push("ranger", "outputs/hpo_r5_ranger"),
 )
 
+_CONT8191 = (
+    "python scripts/train_continuous.py max_epoch=30000 "
+    "burning_epoch=3000 verbose=1000 checkpoint=2000 "
+    "load_checkpoint=true dtype=bfloat16 alpha=0 alpha_pce=1.0 "
+    "pce_L=8191 head.policy_log_std_min=-3.0 "
+    "head.policy_log_std_max=0.0 "
+    "eval.L_final=1000000 eval.M_final=400 "
+    "eval.batch_size_final=200 eval.T_final=30 "
+    "output_dir=outputs/loc_cont_pce8191 "
+)
+
+LANES["R5c"] = lambda: (
+    # Session-2 rework of R5b: the serialized R5b schedule left the
+    # pce_L=8191 train (VERDICT r4 item 4, ~3-4 h) starting ~00:30 with
+    # a 03:25 deadline kill — no bounds artifact. Changes: (a) the trend
+    # runs at M=100 (SE 0.08→0.12, still decisive for a multi-nat gap),
+    # buying pce8191 ~45 min; (b) pce8191's train and final eval are
+    # separate steps with a preserve between, so a deadline cut keeps
+    # the weights and the eval step doubles as finish+eval on a rerun;
+    # (c) step 1 waits on the ADOPTED live train (launched by the
+    # retired R5b runner) instead of racing it.
+    run_step("r5c_al1d_wait",
+             "python scripts/wait_for_run.py outputs/al1d_r4_full "
+             "--timeout 14400", timeout=15000, watch=False, min_room=60),
+    run_step("r5b_al1d_train",
+             "test -e outputs/al1d_r4_full/model/aline_al_1d || "
+             + _AL1D_TRAIN, timeout=14400, stall=1800),
+    run_step("r5b_preserve_al1d",
+             "python scripts/preserve_models.py outputs/al1d_r4_full "
+             "aline_al_1d al1d_200k "
+             "'GP-AL-1D flagship, full reference budget (200k, bf16)'",
+             timeout=600, watch=False, min_room=90),
+    run_step("r5b_al1d_eval_data",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask data --seeds 0,1,2", timeout=5400),
+    run_step("r5b_al1d_eval_theta",
+             "python scripts/eval_al.py outputs/al1d_r4_full "
+             "--file-name aline_al_1d --batch-size 200 --T 30 --n-query 500 "
+             "--mask theta --seeds 0,1,2", timeout=5400),
+    run_step("r5b_al1d_artifacts",
+             "cp outputs/al1d_r4_full/eval/al_curves_data_mask.npz "
+             "benchmarks/artifacts/al1d_r4_data_mask.npz && "
+             "cp outputs/al1d_r4_full/eval/al_curves_theta_mask.npz "
+             "benchmarks/artifacts/al1d_r4_theta_mask.npz && "
+             "python scripts/paired_al_stats.py al1d_r4_data_mask.npz "
+             "al1d_r4_theta_mask.npz "
+             "--out benchmarks/artifacts/al1d_r4_paired_stats.json && "
+             "python scripts/make_figures.py", timeout=900, watch=False,
+             min_room=120),
+    run_step("r5c_ces_trend",
+             "python scripts/eval_bed_trend.py checkpoints/ces_200k "
+             "--file-name aline_ces "
+             "--L-checkpoints 1000000,3000000,10000000,30000000 "
+             "--M 100 --batch-size 100 --n-query 2000 --T 15",
+             timeout=7200, stall=2400),
+    run_step("r5c_cont8191_train", _CONT8191 + "eval.EIG=false",
+             timeout=16200, stall=1800),
+    run_step("r5b_preserve_cont8191",
+             "python scripts/preserve_models.py outputs/loc_cont_pce8191 "
+             "aline_cont cont_pce8191 "
+             "'continuous-design loc policy, pathwise sPCE pce_L=8191'",
+             timeout=600, watch=False, min_room=90),
+    # Resumes at epoch 30000 (or finish-trains a deadline-cut run),
+    # then runs the T=30/L=1e6/M=400 bounds eval.
+    run_step("r5c_cont8191_eval", _CONT8191 + "eval.EIG=true",
+             timeout=7200, stall=2400, min_room=1500),
+    _hpo_push("xgboost", "outputs/hpo_r5_xgboost"),
+    _hpo_push("ranger", "outputs/hpo_r5_ranger"),
+)
+
 
 def main():
     os.makedirs(MARKER_DIR, exist_ok=True)
